@@ -1,0 +1,201 @@
+"""Frozen dataclass configuration tree.
+
+Mirrors the reference experiment configuration
+(reference: experiments/geotransformer.gaussian_splatting.indoor/config.py:10-147)
+but with no import side effects, plus TPU-specific static capacity settings
+(padded sizes per pyramid level) that replace the reference's dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    # reference config.py:76-88
+    num_stages: int = 5
+    init_voxel_size: float = 0.025
+    kernel_size: int = 15
+    base_radius: float = 2.5
+    base_sigma: float = 2.0
+    group_norm: int = 32
+    input_dim: int = 4  # [opacity, R, G, B]
+    init_dim: int = 64
+    output_dim: int = 256
+
+    @property
+    def init_radius(self) -> float:
+        return self.base_radius * self.init_voxel_size
+
+    @property
+    def init_sigma(self) -> float:
+        return self.base_sigma * self.init_voxel_size
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Static per-level padded capacities (TPU-native replacement for the
+    reference's dynamic point counts). `levels` are per-cloud point capacities
+    for the 5-level grid pyramid; `neighbor_limits` are the per-level neighbor
+    caps (reference test.py:129 uses [89, 30, 43, 49, 49])."""
+
+    levels: Tuple[int, ...] = (30720, 16384, 6144, 2048, 768)
+    neighbor_limits: Tuple[int, ...] = (89, 30, 43, 49, 49)
+    # max dense correspondences kept in LGR verification set
+    max_correspondences: int = 2048
+    # max per-patch correspondences used for one local Procrustes hypothesis
+    max_patch_correspondences: int = 128
+
+    def scaled(self, factor: float) -> "CapacityConfig":
+        return dataclasses.replace(
+            self, levels=tuple(max(8, int(n * factor)) for n in self.levels)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    # reference config.py:90-94
+    ground_truth_matching_radius: float = 0.05
+    num_points_in_patch: int = 128
+    num_sinkhorn_iterations: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class CoarseMatchingConfig:
+    # reference config.py:96-101
+    num_targets: int = 128
+    overlap_threshold: float = 0.1
+    num_correspondences: int = 256
+    dual_normalization: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class GeoTransformerConfig:
+    # reference config.py:103-113
+    input_dim: int = 2048
+    hidden_dim: int = 256
+    output_dim: int = 256
+    num_heads: int = 4
+    blocks: Tuple[str, ...] = ("self", "cross", "self", "cross", "self", "cross")
+    sigma_d: float = 0.2
+    sigma_a: float = 15.0
+    angle_k: int = 3
+    reduction_a: str = "max"
+
+
+@dataclasses.dataclass(frozen=True)
+class FineMatchingConfig:
+    # reference config.py:115-125
+    topk: int = 3
+    acceptance_radius: float = 0.1
+    mutual: bool = True
+    confidence_threshold: float = 0.05
+    use_dustbin: bool = False
+    use_global_score: bool = False
+    correspondence_threshold: int = 3
+    num_refinement_steps: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    # reference config.py:61-65 and model.py:209-215
+    distance_threshold: float = 0.05
+    num_points_train: int = 3
+    num_points_test: int = 5
+    num_iterations_train: int = 1000
+    num_iterations_test: int = 10000
+    with_scale: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class CoarseLossConfig:
+    # reference config.py:127-134
+    positive_margin: float = 0.1
+    negative_margin: float = 1.4
+    positive_optimal: float = 0.1
+    negative_optimal: float = 1.4
+    log_scale: float = 24.0
+    positive_overlap: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    # reference config.py:136-143
+    fine_positive_radius: float = 0.05
+    weight_coarse_loss: float = 1.0
+    weight_fine_loss: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    # reference config.py:52-59
+    acceptance_overlap: float = 0.0
+    acceptance_radius: float = 0.1
+    inlier_ratio_threshold: float = 0.05
+    rmse_threshold: float = 0.2
+    rre_threshold: float = 15.0
+    rte_threshold: float = 0.3
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    # reference config.py:67-74
+    lr: float = 1e-4
+    lr_decay: float = 0.95
+    lr_decay_steps: int = 1
+    weight_decay: float = 1e-6
+    max_epoch: int = 40
+    grad_acc_steps: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainDataConfig:
+    # reference config.py:37-50
+    batch_size: int = 1
+    point_limit: int = 30000
+    use_augmentation: bool = True
+    augmentation_noise: float = 0.005
+    augmentation_rotation: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    seed: int = 7351
+    backbone: BackboneConfig = BackboneConfig()
+    capacity: CapacityConfig = CapacityConfig()
+    model: ModelConfig = ModelConfig()
+    coarse_matching: CoarseMatchingConfig = CoarseMatchingConfig()
+    geotransformer: GeoTransformerConfig = GeoTransformerConfig()
+    fine_matching: FineMatchingConfig = FineMatchingConfig()
+    ransac: RansacConfig = RansacConfig()
+    coarse_loss: CoarseLossConfig = CoarseLossConfig()
+    loss: LossConfig = LossConfig()
+    eval: EvalConfig = EvalConfig()
+    optim: OptimConfig = OptimConfig()
+    train: TrainDataConfig = TrainDataConfig()
+
+
+def make_cfg() -> Config:
+    return Config()
+
+
+def make_tiny_cfg() -> Config:
+    """A small config for unit tests / CPU smoke runs."""
+    return dataclasses.replace(
+        make_cfg(),
+        capacity=CapacityConfig(
+            levels=(1024, 512, 256, 96, 48),
+            neighbor_limits=(24, 16, 16, 16, 16),
+            max_correspondences=256,
+            max_patch_correspondences=32,
+        ),
+        model=ModelConfig(num_points_in_patch=16, num_sinkhorn_iterations=20),
+        coarse_matching=CoarseMatchingConfig(
+            num_targets=32, overlap_threshold=0.1, num_correspondences=48
+        ),
+        geotransformer=GeoTransformerConfig(input_dim=128, hidden_dim=64, output_dim=64),
+        backbone=BackboneConfig(init_dim=8, output_dim=32, group_norm=4),
+        ransac=RansacConfig(num_iterations_train=128, num_iterations_test=256),
+    )

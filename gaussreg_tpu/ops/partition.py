@@ -1,0 +1,63 @@
+"""Point-to-node (superpoint patch) partition.
+
+reference: geotransformer/modules/ops/pointcloud_partition.py:60-111
+(`point_to_node_partition`, the fixed version). Mask-native static-shape
+rewrite: every point is assigned to its nearest valid node; each node's patch
+is its `point_limit` nearest *assigned* points, sentinel-padded with index N.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gaussreg_tpu.ops.pairwise import masked_pairwise_sq_dist
+
+_BIG = 1e12
+
+
+@functools.partial(jax.jit, static_argnames=("point_limit",))
+def point_to_node_partition(
+    points: jnp.ndarray,
+    nodes: jnp.ndarray,
+    point_mask: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    point_limit: int,
+):
+    """Args:
+        points: (N, 3) padded fine points.
+        nodes: (M, 3) padded superpoints.
+        point_mask: (N,) bool.
+        node_mask: (M,) bool.
+        point_limit: static patch capacity K.
+
+    Returns:
+        point_to_node: (N,) int32 — nearest node per point (undefined where
+            ~point_mask).
+        node_masks: (M,) bool — valid node with >= 1 assigned point
+            (reference pointcloud_partition.py:88-89).
+        node_knn_indices: (M, K) int32 into points, sentinel == N.
+        node_knn_masks: (M, K) bool.
+        node_sizes: (M,) int32 number of assigned points.
+    """
+    n = points.shape[0]
+    m = nodes.shape[0]
+
+    sq = masked_pairwise_sq_dist(nodes, points, node_mask, point_mask)  # (M, N)
+    point_to_node = jnp.argmin(sq, axis=0).astype(jnp.int32)  # (N,)
+
+    assigned = jax.nn.one_hot(point_to_node, m, dtype=jnp.bool_, axis=0)  # (M, N)
+    assigned = assigned & point_mask[None, :]
+    node_sizes = jnp.sum(assigned, axis=1).astype(jnp.int32)
+    node_masks = (node_sizes > 0) & node_mask
+
+    # keep only each node's own points, then take the K nearest
+    # (reference pointcloud_partition.py:91-102)
+    sq_own = jnp.where(assigned, sq, _BIG)
+    neg, node_knn_indices = jax.lax.top_k(-sq_own, point_limit)  # (M, K)
+    node_knn_masks = (-neg) < _BIG / 2
+    node_knn_indices = jnp.where(node_knn_masks, node_knn_indices, n).astype(jnp.int32)
+
+    return point_to_node, node_masks, node_knn_indices, node_knn_masks, node_sizes
