@@ -1,0 +1,168 @@
+"""On-device pyramid precompute for the KPConv FPN.
+
+TPU-native replacement for the reference's CPU collate path
+(reference: geotransformer/utils/data.py:13-77 precompute_data_stack_mode,
+:139-189 registration_collate_fn_stack_mode): the 5-level grid pyramid and
+all neighbor/subsampling/upsampling index sets are computed *inside jit*
+with static padded capacities, so the whole training step is one XLA program
+with no host round-trips.
+
+Instead of stacking [ref, src] into one variable-length cloud with a lengths
+vector, the pair is a leading axis of size 2 with per-level masks — identical
+semantics (neighbors never cross clouds), MXU-friendly shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussreg_tpu.config import Config
+from gaussreg_tpu.ops.subsample import grid_subsample
+from gaussreg_tpu.ops.neighbors import radius_search
+
+
+class Pyramid(NamedTuple):
+    """Multi-level pyramid for a batch of clouds (leading axis B, typically 2
+    for a [ref, src] pair). All index arrays use sentinel == level capacity."""
+
+    points: Tuple[jnp.ndarray, ...]  # level l: (B, N_l, 3)
+    masks: Tuple[jnp.ndarray, ...]  # (B, N_l)
+    neighbors: Tuple[jnp.ndarray, ...]  # (B, N_l, K_l) self-level neighbors
+    subsampling: Tuple[jnp.ndarray, ...]  # (B, N_{l+1}, K_l) into level l
+    upsampling: Tuple[jnp.ndarray, ...]  # (B, N_l, K_{l+1}) into level l+1
+    num_voxels: Tuple[jnp.ndarray, ...]  # (B,) true voxel counts (overflow
+    # accounting: compare against capacity; see SURVEY.md §7.3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("levels", "neighbor_limits", "num_stages")
+)
+def build_pyramid(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    init_voxel_size: float,
+    init_radius: float,
+    levels: Tuple[int, ...],
+    neighbor_limits: Tuple[int, ...],
+    num_stages: int = 5,
+) -> Pyramid:
+    """Build the pyramid for a batch of clouds (B, N0, 3).
+
+    Mirrors reference utils/data.py:13-77: level l>0 is a grid subsample at
+    voxel_size * 2^l; self-neighbors at radius init_radius * 2^l capped at
+    neighbor_limits[l]; subsampling/upsampling index sets between adjacent
+    levels (upsampling searched at 2x radius with the next level's cap).
+    """
+    assert num_stages == len(levels) == len(neighbor_limits)
+    b = points.shape[0]
+
+    pts = [points]
+    msks = [mask]
+    nvox = [jnp.sum(mask, axis=-1).astype(jnp.int32)]
+    voxel = init_voxel_size
+    for lvl in range(1, num_stages):
+        voxel = voxel * 2.0
+        p, m, nv = jax.vmap(
+            lambda pp, mm: grid_subsample(pp, mm, voxel, capacity=levels[lvl])
+        )(pts[-1], msks[-1])
+        pts.append(p)
+        msks.append(m)
+        nvox.append(nv)
+
+    neighbors = []
+    subsampling = []
+    upsampling = []
+    radius = init_radius
+    for lvl in range(num_stages):
+        rs = jax.vmap(
+            lambda q, s, qm, sm, r=radius, k=neighbor_limits[lvl]: radius_search(
+                q, s, qm, sm, r, k
+            )
+        )
+        neighbors.append(rs(pts[lvl], pts[lvl], msks[lvl], msks[lvl]))
+        if lvl < num_stages - 1:
+            subsampling.append(
+                rs(pts[lvl + 1], pts[lvl], msks[lvl + 1], msks[lvl])
+            )
+            rs_up = jax.vmap(
+                lambda q, s, qm, sm, r=radius * 2.0, k=neighbor_limits[
+                    lvl + 1
+                ]: radius_search(q, s, qm, sm, r, k)
+            )
+            upsampling.append(
+                rs_up(pts[lvl], pts[lvl + 1], msks[lvl], msks[lvl + 1])
+            )
+        radius = radius * 2.0
+
+    return Pyramid(
+        points=tuple(pts),
+        masks=tuple(msks),
+        neighbors=tuple(neighbors),
+        subsampling=tuple(subsampling),
+        upsampling=tuple(upsampling),
+        num_voxels=tuple(nvox),
+    )
+
+
+class PairBatch(NamedTuple):
+    """One registration pair, fully padded/static.
+
+    pyramid: levels with leading axis 2 — index 0 = ref, 1 = src.
+    features: (2, N0, C_in) per-point features ([opacity, R, G, B]).
+    transform: (4, 4) GT similarity src -> ref (training/eval only).
+    """
+
+    pyramid: Pyramid
+    features: jnp.ndarray
+    transform: jnp.ndarray
+
+
+def pad_cloud(points, features, capacity: int):
+    """Host-side helper: pad (n, 3)/(n, C) numpy arrays to capacity."""
+    import numpy as np
+
+    n = points.shape[0]
+    assert n <= capacity, (n, capacity)
+    p = np.zeros((capacity, 3), np.float32)
+    p[:n] = points
+    f = np.zeros((capacity, features.shape[1]), np.float32)
+    f[:n] = features
+    m = np.zeros(capacity, bool)
+    m[:n] = True
+    return p, f, m
+
+
+def make_pair_batch(
+    cfg: Config,
+    ref_points,
+    ref_features,
+    src_points,
+    src_features,
+    transform=None,
+) -> PairBatch:
+    """Build a PairBatch from host numpy clouds (pads, stacks, builds the
+    pyramid on device)."""
+    import numpy as np
+
+    cap0 = cfg.capacity.levels[0]
+    rp, rf, rm = pad_cloud(ref_points, ref_features, cap0)
+    sp, sf, sm = pad_cloud(src_points, src_features, cap0)
+    points = jnp.asarray(np.stack([rp, sp]))
+    feats = jnp.asarray(np.stack([rf, sf]))
+    masks = jnp.asarray(np.stack([rm, sm]))
+    pyramid = build_pyramid(
+        points,
+        masks,
+        cfg.backbone.init_voxel_size,
+        cfg.backbone.init_radius,
+        cfg.capacity.levels,
+        cfg.capacity.neighbor_limits,
+        cfg.backbone.num_stages,
+    )
+    if transform is None:
+        transform = jnp.eye(4)
+    return PairBatch(pyramid, feats, jnp.asarray(transform, jnp.float32))

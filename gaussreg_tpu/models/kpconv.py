@@ -1,0 +1,223 @@
+"""KPConv layers and blocks (flax), batched and mask-native.
+
+TPU-native redesign of the reference KPConv stack
+(reference: geotransformer/modules/kpconv/kpconv.py:10-133,
+modules.py:33-225, functional.py:6-67, kernel_points.py:389-455):
+
+- all ops take a leading cloud axis (B, N, ...) — the [ref, src] pair is
+  processed in one pass like the reference's stacked clouds, but as a batch
+  axis instead of a lengths vector;
+- the (M, H, K, 3) kernel-difference tensor is never materialized: kernel
+  influences come from a |n|^2 - 2 n.kp + |kp|^2 gram expansion (one MXU
+  matmul);
+- GroupNorm statistics are computed jointly over all valid points of the
+  whole batch (matching the reference, which normalizes the stacked ref+src
+  cloud as one instance: modules.py:47-50);
+- kernel point dispositions are generated deterministically by in-ball
+  repulsion (same construction class as kernel_points.py:248-387, no cached
+  .ply asset needed).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SENTINEL_COORD = 1e6
+
+
+@functools.lru_cache(maxsize=None)
+def generate_kernel_points(num_points: int = 15, seed: int = 42) -> np.ndarray:
+    """Deterministic well-spread kernel point dispositions in the unit ball,
+    first point fixed at the center (reference 'center' mode,
+    kernel_points.py:389-455). Computed by inverse-square repulsion descent."""
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(num_points, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts *= rng.uniform(0.3, 1.0, size=(num_points, 1))
+    pts[0] = 0.0
+    lr = 0.01
+    for it in range(2000):
+        diff = pts[:, None, :] - pts[None, :, :]
+        d = np.linalg.norm(diff, axis=-1) + 1e-9
+        np.fill_diagonal(d, np.inf)
+        force = np.sum(diff / (d**3)[..., None], axis=1)
+        pts += lr * force
+        pts[0] = 0.0
+        norms = np.linalg.norm(pts[1:], axis=1, keepdims=True)
+        pts[1:] = np.where(norms > 1.0, pts[1:] / norms, pts[1:])
+        lr *= 0.999
+    return pts.astype(np.float32)
+
+
+def batched_gather(values: jnp.ndarray, indices: jnp.ndarray, fill=0.0):
+    """Gather (B, N, C) at (B, M, K) with sentinel index == N -> fill."""
+    n = values.shape[1]
+    clipped = jnp.minimum(indices, n - 1)
+    out = jax.vmap(lambda v, i: jnp.take(v, i, axis=0))(values, clipped)
+    sentinel = (indices == n)[..., None]
+    return jnp.where(sentinel, jnp.asarray(fill, values.dtype), out)
+
+
+class KPConv(nn.Module):
+    """Kernel point convolution (reference kpconv.py:79-122).
+
+    __call__(s_feats (B,N,Cin), q_points (B,M,3), s_points (B,N,3),
+             neighbor_indices (B,M,H)) -> (B,M,Cout)
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    radius: float
+    sigma: float
+
+    @nn.compact
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices):
+        k = self.kernel_size
+        kp = jnp.asarray(generate_kernel_points(k) * self.radius)  # (K, 3)
+        weights = self.param(
+            "weights",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (k, self.in_channels, self.out_channels),
+        )
+
+        # neighbor offsets relative to query (sentinel pushed far away so its
+        # kernel influence is exactly 0; reference kpconv.py:91)
+        nbr = batched_gather(s_points, neighbor_indices, fill=_SENTINEL_COORD)
+        nbr = nbr - q_points[:, :, None, :]  # (B, M, H, 3)
+
+        # |n - kp|^2 via gram expansion (no (B,M,H,K,3) tensor)
+        n2 = jnp.sum(nbr * nbr, axis=-1)[..., None]  # (B, M, H, 1)
+        cross = jnp.einsum("bmhc,kc->bmhk", nbr, kp)
+        k2 = jnp.sum(kp * kp, axis=-1)  # (K,)
+        sq = jnp.maximum(n2 - 2.0 * cross + k2, 0.0)  # (B, M, H, K)
+        influence = jnp.maximum(1.0 - jnp.sqrt(sq) / self.sigma, 0.0)
+
+        nf = batched_gather(s_feats, neighbor_indices, fill=0.0)  # (B, M, H, C)
+        weighted = jnp.einsum("bmhk,bmhc->bmkc", influence, nf)
+        out = jnp.einsum("bmkc,kcd->bmd", weighted, weights)
+
+        # per-query neighbor-count normalization (reference kpconv.py:113-116)
+        count = jnp.sum(neighbor_indices != s_points.shape[1], axis=-1)
+        out = out / jnp.maximum(count, 1)[..., None].astype(out.dtype)
+        return out
+
+
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm whose statistics span all valid points of the whole batch
+    jointly — the reference normalizes the stacked (ref+src) cloud as a
+    single instance (modules.py:47-50, torch GroupNorm over (1, C, N))."""
+
+    num_groups: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # x: (B, N, C), mask: (B, N)
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, (c, g)
+        m = mask[..., None].astype(x.dtype)
+        xg = (x * m).reshape(x.shape[:-1] + (g, c // g))
+        denom = jnp.maximum(jnp.sum(m), 1.0) * (c // g)
+        mean = jnp.sum(xg, axis=(0, 1, 3)) / denom  # (g,)
+        var = (
+            jnp.sum(
+                jnp.where(mask[..., None, None], (xg - mean[:, None]) ** 2, 0.0),
+                axis=(0, 1, 3),
+            )
+            / denom
+        )
+        xg = (xg - mean[:, None]) * jax.lax.rsqrt(var[:, None] + self.eps)
+        xn = xg.reshape(x.shape)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return (xn * scale + bias) * m
+
+
+class UnaryBlock(nn.Module):
+    """Linear -> GroupNorm -> LeakyReLU(0.1) (reference modules.py:53-83)."""
+
+    out_channels: int
+    group_norm: int
+    has_relu: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = nn.Dense(self.out_channels)(x)
+        x = MaskedGroupNorm(self.group_norm)(x, mask)
+        if self.has_relu:
+            x = nn.leaky_relu(x, 0.1)
+        return x
+
+
+class ConvBlock(nn.Module):
+    """KPConv -> GroupNorm -> LeakyReLU (reference modules.py:104-146)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    radius: float
+    sigma: float
+    group_norm: int
+
+    @nn.compact
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask):
+        x = KPConv(
+            self.in_channels, self.out_channels, self.kernel_size, self.radius, self.sigma
+        )(s_feats, q_points, s_points, neighbor_indices)
+        x = MaskedGroupNorm(self.group_norm)(x, q_mask)
+        return nn.leaky_relu(x, 0.1)
+
+
+def maxpool(s_feats, neighbor_indices):
+    """Max over neighbors, sentinel contributes 0 (reference functional.py:54-67)."""
+    nf = batched_gather(s_feats, neighbor_indices, fill=0.0)
+    return jnp.max(nf, axis=2)
+
+
+def nearest_upsample(s_feats, upsample_indices):
+    """Take the first (nearest) neighbor's features
+    (reference functional.py:6-22)."""
+    return batched_gather(s_feats, upsample_indices[:, :, :1], fill=0.0)[:, :, 0]
+
+
+class ResidualBlock(nn.Module):
+    """Bottleneck residual KPConv block (reference modules.py:149-225).
+
+    When `strided`, queries live on the next (coarser) level and the shortcut
+    is a neighbor max-pool."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    radius: float
+    sigma: float
+    group_norm: int
+    strided: bool = False
+
+    @nn.compact
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask, s_mask):
+        mid = self.out_channels // 4
+        if self.in_channels != mid:
+            x = UnaryBlock(mid, self.group_norm)(s_feats, s_mask)
+        else:
+            x = s_feats
+        x = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma)(
+            x, q_points, s_points, neighbor_indices
+        )
+        x = MaskedGroupNorm(self.group_norm)(x, q_mask)
+        x = nn.leaky_relu(x, 0.1)
+        x = UnaryBlock(self.out_channels, self.group_norm, has_relu=False)(x, q_mask)
+
+        shortcut = maxpool(s_feats, neighbor_indices) if self.strided else s_feats
+        if self.in_channels != self.out_channels:
+            shortcut = UnaryBlock(self.out_channels, self.group_norm, has_relu=False)(
+                shortcut, q_mask
+            )
+        return nn.leaky_relu(x + shortcut, 0.1)

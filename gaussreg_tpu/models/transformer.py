@@ -1,0 +1,155 @@
+"""Transformer layers: vanilla + geometric-RPE attention, conditional stack.
+
+reference: geotransformer/modules/transformer/vanilla_transformer.py:15-129,
+rpe_transformer.py:18-131, conditional_transformer.py:73-117,
+positional_embedding.py:8-34, output_layer.py:6-21.
+
+Masks use the *valid* convention (True = keep) throughout, opposite to the
+reference's `key_masks` (True = ignored) — inverted at the softmax.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+def sinusoidal_embedding(indices: jnp.ndarray, d_model: int) -> jnp.ndarray:
+    """Continuous-index sinusoidal embedding with interleaved [sin, cos]
+    pairs (reference positional_embedding.py:18-34: the (d/2, 2) reshape
+    interleaves sin and cos)."""
+    div = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-np.log(10000.0) / d_model)
+    )
+    omega = indices[..., None] * div  # (..., d/2)
+    emb = jnp.stack([jnp.sin(omega), jnp.cos(omega)], axis=-1)  # (..., d/2, 2)
+    return emb.reshape(indices.shape + (d_model,))
+
+
+class AttentionOutput(nn.Module):
+    """d -> 2d -> d feed-forward + residual LayerNorm
+    (reference output_layer.py:6-21)."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.d_model * 2)(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model)(h)
+        return nn.LayerNorm()(x + h)
+
+
+class MultiHeadAttention(nn.Module):
+    """Vanilla scaled dot-product MHA
+    (reference vanilla_transformer.py:15-70)."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, key_valid=None):
+        h = self.num_heads
+        dh = self.d_model // h
+        q = nn.Dense(self.d_model, name="proj_q")(q_in)
+        k = nn.Dense(self.d_model, name="proj_k")(k_in)
+        v = nn.Dense(self.d_model, name="proj_v")(v_in)
+        q = q.reshape(q.shape[:-1] + (h, dh))
+        k = k.reshape(k.shape[:-1] + (h, dh))
+        v = v.reshape(v.shape[:-1] + (h, dh))
+        scores = jnp.einsum("...nhc,...mhc->...hnm", q, k) / np.sqrt(dh)
+        if key_valid is not None:
+            scores = jnp.where(key_valid[..., None, None, :], scores, -jnp.inf)
+        attn = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("...hnm,...mhc->...nhc", attn, v)
+        return out.reshape(out.shape[:-2] + (self.d_model,))
+
+
+class RPEMultiHeadAttention(nn.Module):
+    """MHA with pairwise relative positional embeddings added to the logits
+    via a projected embedding tensor (reference rpe_transformer.py:18-72:
+    einsum('bhnc,bhnmc->bhnm', q, proj_p(embed)))."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, embed_qk, key_valid=None):
+        h = self.num_heads
+        dh = self.d_model // h
+        q = nn.Dense(self.d_model, name="proj_q")(q_in)
+        k = nn.Dense(self.d_model, name="proj_k")(k_in)
+        v = nn.Dense(self.d_model, name="proj_v")(v_in)
+        p = nn.Dense(self.d_model, name="proj_p")(embed_qk)  # (..., N, M, d)
+        q = q.reshape(q.shape[:-1] + (h, dh))
+        k = k.reshape(k.shape[:-1] + (h, dh))
+        v = v.reshape(v.shape[:-1] + (h, dh))
+        p = p.reshape(p.shape[:-1] + (h, dh))
+        scores_e = jnp.einsum("...nhc,...mhc->...hnm", q, k)
+        scores_p = jnp.einsum("...nhc,...nmhc->...hnm", q, p)
+        scores = (scores_e + scores_p) / np.sqrt(dh)
+        if key_valid is not None:
+            scores = jnp.where(key_valid[..., None, None, :], scores, -jnp.inf)
+        attn = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("...hnm,...mhc->...nhc", attn, v)
+        return out.reshape(out.shape[:-2] + (self.d_model,))
+
+
+class TransformerLayer(nn.Module):
+    """attention -> linear -> residual LN -> FFN
+    (reference vanilla_transformer.py:73-129)."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, memory, key_valid=None):
+        h = MultiHeadAttention(self.d_model, self.num_heads)(
+            x, memory, memory, key_valid
+        )
+        h = nn.Dense(self.d_model)(h)
+        x = nn.LayerNorm()(x + h)
+        return AttentionOutput(self.d_model)(x)
+
+
+class RPETransformerLayer(nn.Module):
+    """reference rpe_transformer.py:75-131."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, memory, embed_qk, key_valid=None):
+        h = RPEMultiHeadAttention(self.d_model, self.num_heads)(
+            x, memory, memory, embed_qk, key_valid
+        )
+        h = nn.Dense(self.d_model)(h)
+        x = nn.LayerNorm()(x + h)
+        return AttentionOutput(self.d_model)(x)
+
+
+class RPEConditionalTransformer(nn.Module):
+    """Alternating self (RPE) / cross (vanilla) blocks over the (ref, src)
+    feature streams (reference conditional_transformer.py:73-117)."""
+
+    blocks: tuple
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, feats0, feats1, embed0, embed1, valid0=None, valid1=None):
+        for i, block in enumerate(self.blocks):
+            if block == "self":
+                layer = RPETransformerLayer(
+                    self.d_model, self.num_heads, name=f"layer_{i}_self"
+                )
+                feats0 = layer(feats0, feats0, embed0, valid0)
+                feats1 = layer(feats1, feats1, embed1, valid1)
+            else:
+                layer = TransformerLayer(
+                    self.d_model, self.num_heads, name=f"layer_{i}_cross"
+                )
+                feats0 = layer(feats0, feats1, valid1)
+                feats1 = layer(feats1, feats0, valid0)
+        return feats0, feats1
