@@ -1,0 +1,89 @@
+import numpy as np
+import jax
+import pytest
+
+from gaussreg_tpu.config import make_tiny_cfg
+from gaussreg_tpu.data.synthetic import make_synthetic_batch, random_pair
+from gaussreg_tpu.data.pipeline import make_pair_batch
+from gaussreg_tpu.engine.trainer import (
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from gaussreg_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+from gaussreg_tpu.models.registration import create_model
+from gaussreg_tpu.parallel.mesh import make_mesh, shard_batch_pytree
+
+
+@pytest.fixture(scope="module")
+def _setup():
+    cfg = make_tiny_cfg()
+    model = create_model(cfg)
+    rp, rf, sp, sf, m = random_pair(cfg, 0, num_points=600)
+    example = make_pair_batch(cfg, rp, rf, sp, sf, m)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(cfg, model, example, jax.random.PRNGKey(0), tx)
+    return cfg, model, tx, state, example
+
+
+@pytest.fixture()
+def setup(_setup):
+    # train steps donate the state's buffers; hand every test a fresh copy
+    cfg, model, tx, state, example = _setup
+    import jax.numpy as jnp
+
+    state = jax.tree_util.tree_map(jnp.copy, state)
+    return cfg, model, tx, state, example
+
+
+def test_single_device_train_step_decreases_loss(setup):
+    cfg, model, tx, state, example = setup
+    batch = make_synthetic_batch(cfg, [1], num_points=600)
+    step = make_train_step(model, cfg, tx)
+    keys = jax.random.split(jax.random.PRNGKey(1), 1)
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, batch, keys)
+        losses.append(float(metrics["loss"]))
+        assert metrics["grad_finite"] == 1.0
+    assert np.isfinite(losses).all()
+    # overfitting a single repeated batch must reduce the loss
+    assert losses[-1] < losses[0]
+
+
+def test_data_parallel_train_step_matches_mesh(setup):
+    cfg, model, tx, state, example = setup
+    mesh = make_mesh()
+    assert len(jax.devices()) == 8
+    batch = make_synthetic_batch(cfg, [1, 2, 3, 4, 5, 6, 7, 8], num_points=400)
+    batch = shard_batch_pytree(batch, mesh)
+    step = make_train_step(model, cfg, tx, mesh=mesh)
+    keys = jax.random.split(jax.random.PRNGKey(2), 8)
+    keys = shard_batch_pytree(keys, mesh)
+    state2, metrics = step(state, batch, keys)
+    assert np.isfinite(float(metrics["loss"]))
+    # params updated and replicated
+    p0 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert np.isfinite(np.asarray(p0)).all()
+
+
+def test_eval_step_runs(setup):
+    cfg, model, tx, state, example = setup
+    eval_step = make_eval_step(model, cfg)
+    est, metrics = eval_step(state.params, example, jax.random.PRNGKey(3))
+    assert est.shape == (4, 4)
+    for k in ("RRE", "RTE", "RSE", "RMSE", "RR"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    cfg, model, tx, state, example = setup
+    path = save_checkpoint(
+        str(tmp_path), "snapshot", state.params, state.opt_state, {"step": 5}
+    )
+    params2, opt2 = load_checkpoint(path, state.params, state.opt_state)
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(params2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
