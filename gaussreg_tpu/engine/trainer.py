@@ -56,16 +56,19 @@ def make_optimizer(cfg: Config, steps_per_epoch: int, world_size: int = 1):
 def create_train_state(
     cfg: Config, model: GaussRegModel, example_batch: PairBatch, key, tx
 ) -> TrainState:
-    params = model.init(
-        {
-            "params": key,
-            "sample": jax.random.fold_in(key, 1),
-            "ransac": jax.random.fold_in(key, 2),
-        },
-        example_batch,
-        train=False,
-        with_transform=False,
+    init = jax.jit(
+        lambda k, b: model.init(
+            {
+                "params": k,
+                "sample": jax.random.fold_in(k, 1),
+                "ransac": jax.random.fold_in(k, 2),
+            },
+            b,
+            train=False,
+            with_transform=False,
+        )
     )
+    params = init(key, example_batch)
     opt_state = tx.init(params)
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
 

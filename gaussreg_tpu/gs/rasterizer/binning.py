@@ -1,0 +1,96 @@
+"""Tile binning: (gaussian, tile) pair lists sorted by (tile, depth).
+
+TPU-native equivalent of CUDA 3DGS's duplicate-and-radix-sort binning, built
+from XLA sorts with static capacities: every gaussian contributes up to
+MAX_TILES_PER_GAUSSIAN pairs (its screen bbox clipped to that budget;
+overflow is counted, never silently dropped pixels-first), pairs are sorted
+by a (tile, depth-rank) key, and per-tile ranges come from searchsorted.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TileBinning(NamedTuple):
+    pair_gaussian: jnp.ndarray  # (P,) int32 gaussian index per sorted pair
+    pair_valid: jnp.ndarray  # (P,) bool
+    tile_offsets: jnp.ndarray  # (num_tiles + 1,) int32 into the sorted pairs
+    num_pairs: jnp.ndarray  # () int32 — true pair count (before cap)
+    overflow: jnp.ndarray  # () int32 — pairs dropped by the per-gaussian cap
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_w", "tile_h", "width", "height", "max_tiles_per_gaussian"),
+)
+def bin_gaussians(
+    means2d: jnp.ndarray,  # (G, 2)
+    radii: jnp.ndarray,  # (G,) 0 = culled
+    depths: jnp.ndarray,  # (G,)
+    width: int,
+    height: int,
+    tile_w: int = 128,
+    tile_h: int = 16,
+    max_tiles_per_gaussian: int = 16,
+) -> TileBinning:
+    g = means2d.shape[0]
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    num_tiles = ntx * nty
+    mt = max_tiles_per_gaussian
+
+    x, y = means2d[:, 0], means2d[:, 1]
+    r = radii
+    # clip to the tile grid but keep emptiness: fully off-screen bboxes must
+    # yield zero tiles, not a clamped border tile
+    tx0 = jnp.maximum(jnp.floor((x - r) / tile_w), 0).astype(jnp.int32)
+    tx1 = jnp.minimum(jnp.floor((x + r) / tile_w), ntx - 1).astype(jnp.int32)
+    ty0 = jnp.maximum(jnp.floor((y - r) / tile_h), 0).astype(jnp.int32)
+    ty1 = jnp.minimum(jnp.floor((y + r) / tile_h), nty - 1).astype(jnp.int32)
+    alive = r > 0.0
+    bw = jnp.where(alive, jnp.maximum(tx1 - tx0 + 1, 0), 0)
+    bh = jnp.where(alive, jnp.maximum(ty1 - ty0 + 1, 0), 0)
+    count = bw * bh  # (G,)
+    tx0 = jnp.clip(tx0, 0, ntx - 1)
+    ty0 = jnp.clip(ty0, 0, nty - 1)
+
+    slot = jnp.arange(mt, dtype=jnp.int32)  # (mt,)
+    dy = slot[None, :] // jnp.maximum(bw, 1)[:, None]
+    dx = slot[None, :] % jnp.maximum(bw, 1)[:, None]
+    in_bbox = slot[None, :] < jnp.minimum(count, mt)[:, None]
+    tile_id = (ty0[:, None] + dy) * ntx + (tx0[:, None] + dx)  # (G, mt)
+    tile_id = jnp.where(in_bbox, tile_id, num_tiles)  # invalid sort last
+
+    # sort pairs by (tile, depth): stable sort on tile of depth-sorted order
+    pair_tile = tile_id.reshape(-1)  # (G * mt,)
+    pair_gid = jnp.broadcast_to(
+        jnp.arange(g, dtype=jnp.int32)[:, None], (g, mt)
+    ).reshape(-1)
+    pair_depth = jnp.broadcast_to(depths[:, None], (g, mt)).reshape(-1)
+
+    depth_order = jnp.argsort(pair_depth)
+    tile_sorted = pair_tile[depth_order]
+    order2 = jnp.argsort(tile_sorted, stable=True)
+    final_order = depth_order[order2]
+
+    sorted_tiles = pair_tile[final_order]
+    sorted_gid = pair_gid[final_order]
+    sorted_valid = sorted_tiles < num_tiles
+
+    tile_offsets = jnp.searchsorted(
+        sorted_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    overflow = jnp.sum(jnp.maximum(count - mt, 0))
+    return TileBinning(
+        pair_gaussian=sorted_gid,
+        pair_valid=sorted_valid,
+        tile_offsets=tile_offsets,
+        num_pairs=jnp.sum(jnp.minimum(count, mt)).astype(jnp.int32),
+        overflow=overflow.astype(jnp.int32),
+    )

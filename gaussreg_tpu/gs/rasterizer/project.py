@@ -1,0 +1,135 @@
+"""EWA projection of 3D gaussians to screen space (pure jnp, differentiable).
+
+The math follows the 3DGS formulation (Kerbl et al. 2023): world covariance
+Sigma = R S S^T R^T from quaternion+log-scale parameters, camera-space
+covariance W Sigma W^T, perspective Jacobian J, screen covariance
+Sigma' = J W Sigma W^T J^T + 0.3 I, inverse conic for the exponent, and a
+3-sigma screen radius. This is the differentiable front end of the Pallas
+tile rasterizer (SURVEY.md §7.2 step 6; no counterpart exists in the
+reference snapshot — its fine registration lives on an unreleased branch,
+reference README.md:63-65).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from gaussreg_tpu.gs import sh as sh_mod
+from gaussreg_tpu.gs.rasterizer.camera import Camera
+from gaussreg_tpu.ops.transforms import quaternion_to_matrix
+
+
+class ProjectedGaussians(NamedTuple):
+    means2d: jnp.ndarray  # (G, 2) pixel coords
+    depths: jnp.ndarray  # (G,)
+    conics: jnp.ndarray  # (G, 3) inverse-covariance (a, b, c): a dx^2 + 2b dxdy + c dy^2
+    colors: jnp.ndarray  # (G, 3)
+    opacities: jnp.ndarray  # (G,)
+    radii: jnp.ndarray  # (G,) float screen-space 3-sigma radius (0 if culled)
+    valid: jnp.ndarray  # (G,) bool
+
+
+def compute_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
+    """(G, 3) linear scales + (G, 4) wxyz quats -> (G, 3, 3) covariance."""
+    r = quaternion_to_matrix(quats)  # (G, 3, 3)
+    m = r * scales[:, None, :]  # R @ diag(s)
+    return m @ jnp.swapaxes(m, -1, -2)
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    sh_coeffs: jnp.ndarray,
+    camera: Camera,
+    valid: jnp.ndarray | None = None,
+    near: float = 0.2,
+    blur: float = 0.3,
+    sh_degree: int = 3,
+) -> ProjectedGaussians:
+    """Project gaussians into screen space.
+
+    Args:
+        means3d: (G, 3) world positions.
+        scales: (G, 3) linear (post-exp) scales.
+        quats: (G, 4) wxyz rotations (unnormalized ok).
+        opacities: (G,) post-sigmoid opacities.
+        sh_coeffs: (G, 3, K) SH color coefficients (K >= (sh_degree+1)^2).
+        camera: Camera.
+    """
+    g = means3d.shape[0]
+    if valid is None:
+        valid = jnp.ones(g, bool)
+
+    w = camera.w2c[:3, :3]
+    t = camera.w2c[:3, 3]
+    p_cam = means3d @ w.T + t  # (G, 3)
+    z = p_cam[:, 2]
+    in_front = z > near
+    zc = jnp.maximum(z, near)  # clamped for stable math on culled points
+
+    x_ndc = p_cam[:, 0] / zc
+    y_ndc = p_cam[:, 1] / zc
+    means2d = jnp.stack(
+        [camera.fx * x_ndc + camera.cx, camera.fy * y_ndc + camera.cy], axis=1
+    )
+
+    cov3d = compute_cov3d(scales, quats)  # (G, 3, 3)
+    cov_cam = jnp.einsum("ij,gjk,lk->gil", w, cov3d, w)
+
+    # perspective Jacobian (2, 3) per gaussian; x/y clamped to a slightly
+    # expanded frustum like 3DGS to tame off-screen gradients
+    lim_x = 1.3 * camera.cx / camera.fx
+    lim_y = 1.3 * camera.cy / camera.fy
+    tx = jnp.clip(x_ndc, -lim_x, lim_x) * zc
+    ty = jnp.clip(y_ndc, -lim_y, lim_y) * zc
+    fx, fy = camera.fx, camera.fy
+    j00 = fx / zc
+    j02 = -fx * tx / (zc * zc)
+    j11 = fy / zc
+    j12 = -fy * ty / (zc * zc)
+    # cov2d = J cov_cam J^T, J = [[j00, 0, j02], [0, j11, j12]]
+    c00 = cov_cam[:, 0, 0]
+    c01 = cov_cam[:, 0, 1]
+    c02 = cov_cam[:, 0, 2]
+    c11 = cov_cam[:, 1, 1]
+    c12 = cov_cam[:, 1, 2]
+    c22 = cov_cam[:, 2, 2]
+    a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + blur
+    b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
+    c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + blur
+
+    det = a * c - b * b
+    det_safe = jnp.maximum(det, 1e-12)
+    inv_a = c / det_safe
+    inv_b = -b / det_safe
+    inv_c = a / det_safe
+    conics = jnp.stack([inv_a, inv_b, inv_c], axis=1)
+
+    mid = 0.5 * (a + c)
+    eig_gap = jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
+    lambda1 = mid + eig_gap
+    radii = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+
+    # view-dependent color
+    cam_center = camera.cam_center
+    dirs = means3d - cam_center
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=1, keepdims=True) + 1e-8)
+    colors = jnp.maximum(
+        sh_mod.eval_sh(sh_degree, sh_coeffs, dirs) + 0.5, 0.0
+    )  # (G, 3)
+
+    ok = valid & in_front & (det > 0.0)
+    radii = jnp.where(ok, radii, 0.0)
+    return ProjectedGaussians(
+        means2d=means2d,
+        depths=z,
+        conics=conics,
+        colors=colors,
+        opacities=opacities,
+        radii=radii,
+        valid=ok,
+    )

@@ -1,0 +1,154 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation
+
+from gaussreg_tpu.gs.rasterizer.camera import look_at_camera
+from gaussreg_tpu.gs.rasterizer.project import project_gaussians, compute_cov3d
+from gaussreg_tpu.gs.rasterizer.binning import bin_gaussians
+from gaussreg_tpu.gs.rasterizer.reference import render_reference
+from gaussreg_tpu.gs.rasterizer.render import render
+
+
+def _scene(n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    scales = np.exp(rng.normal(loc=-2.5, scale=0.4, size=(n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = (1 / (1 + np.exp(-rng.normal(1.0, 1.0, size=n)))).astype(np.float32)
+    sh = np.zeros((n, 3, 16), np.float32)
+    sh[:, :, 0] = rng.uniform(-1, 1, size=(n, 3))
+    sh[:, :, 1:] = rng.normal(scale=0.05, size=(n, 3, 15))
+    return (
+        jnp.asarray(means),
+        jnp.asarray(scales),
+        jnp.asarray(quats),
+        jnp.asarray(opac),
+        jnp.asarray(sh),
+    )
+
+
+def _camera(width=256, height=64):
+    return look_at_camera(
+        eye=[0, 0, -4.0], target=[0, 0, 0], up=[0, 1, 0],
+        fov_deg=60, width=width, height=height,
+    )
+
+
+def test_compute_cov3d_matches_numpy():
+    rng = np.random.default_rng(1)
+    scales = np.exp(rng.normal(size=(10, 3))).astype(np.float32)
+    quats = rng.normal(size=(10, 4)).astype(np.float32)
+    cov = np.asarray(compute_cov3d(jnp.asarray(scales), jnp.asarray(quats)))
+    for i in range(10):
+        q = quats[i] / np.linalg.norm(quats[i])
+        r = Rotation.from_quat(q[[1, 2, 3, 0]]).as_matrix()
+        want = r @ np.diag(scales[i] ** 2) @ r.T
+        np.testing.assert_allclose(cov[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_projection_basics():
+    means, scales, quats, opac, sh = _scene()
+    cam = _camera()
+    proj = project_gaussians(means, scales, quats, opac, sh, cam)
+    v = np.asarray(proj.valid)
+    assert v.sum() > 150  # most gaussians visible
+    m2d = np.asarray(proj.means2d)[v]
+    # on-screen gaussians project near the viewport
+    assert np.isfinite(m2d).all()
+    assert np.asarray(proj.depths)[v].min() > 0
+    # a gaussian behind the camera is culled
+    behind = project_gaussians(
+        jnp.asarray([[0.0, 0.0, -10.0]]),
+        scales[:1], quats[:1], opac[:1], sh[:1], cam,
+    )
+    assert not bool(behind.valid[0])
+
+
+def test_binning_covers_projected_gaussians():
+    means, scales, quats, opac, sh = _scene(50)
+    cam = _camera(width=256, height=64)
+    proj = project_gaussians(means, scales, quats, opac, sh, cam)
+    b = bin_gaussians(
+        proj.means2d, proj.radii, proj.depths, 256, 64,
+        tile_w=128, tile_h=16, max_tiles_per_gaussian=8,
+    )
+    offs = np.asarray(b.tile_offsets)
+    assert offs[-1] == int(np.asarray(b.num_pairs))
+    assert (np.diff(offs) >= 0).all()
+    # every valid pair's tile matches its position in the offset table
+    tiles = np.searchsorted(offs, np.arange(offs[-1]), side="right") - 1
+    gid = np.asarray(b.pair_gaussian)[: offs[-1]]
+    m2d = np.asarray(proj.means2d)
+    r = np.asarray(proj.radii)
+    ntx = 2
+    for p in range(offs[-1]):
+        t, g = tiles[p], gid[p]
+        ty, tx = divmod(t, ntx)
+        # gaussian bbox must intersect this tile
+        assert m2d[g, 0] + r[g] >= tx * 128 and m2d[g, 0] - r[g] <= (tx + 1) * 128
+        assert m2d[g, 1] + r[g] >= ty * 16 and m2d[g, 1] - r[g] <= (ty + 1) * 16
+    # depth-sorted within each tile
+    d = np.asarray(proj.depths)[gid]
+    for t in range(len(offs) - 1):
+        seg = d[offs[t] : offs[t + 1]]
+        assert (np.diff(seg) >= -1e-6).all()
+
+
+def test_pallas_matches_reference_forward():
+    means, scales, quats, opac, sh = _scene(120)
+    cam = _camera(width=256, height=64)
+    out_ref = render(means, scales, quats, opac, sh, cam, use_pallas=False)
+    out_pal = render(
+        means, scales, quats, opac, sh, cam, use_pallas=True,
+        max_tiles_per_gaussian=32,
+    )
+    assert int(out_pal.overflow) == 0
+    ref = np.asarray(out_ref.rgb)
+    pal = np.asarray(out_pal.rgb)
+    np.testing.assert_allclose(pal, ref, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_pal.transmittance), np.asarray(out_ref.transmittance), atol=2e-5
+    )
+
+
+def test_pallas_gradients_match_reference():
+    means, scales, quats, opac, sh = _scene(40)
+    cam = _camera(width=128, height=32)
+
+    def loss(means, scales, quats, opac, sh, use_pallas):
+        out = render(
+            means, scales, quats, opac, sh, cam, use_pallas=use_pallas,
+            max_tiles_per_gaussian=32,
+        )
+        # weighted sums exercise rgb and transmittance gradients
+        w = jnp.linspace(0.5, 1.5, out.rgb.size).reshape(out.rgb.shape)
+        return jnp.sum(out.rgb * w) + 0.3 * jnp.sum(out.transmittance)
+
+    args = (means, scales, quats, opac, sh)
+    g_ref = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args, use_pallas=False)
+    g_pal = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args, use_pallas=True)
+    names = ["means", "scales", "quats", "opacities", "sh"]
+    for name, a, b in zip(names, g_ref, g_pal):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=5e-4, err_msg=name)
+
+
+def test_gradients_match_finite_differences():
+    means, scales, quats, opac, sh = _scene(10)
+    cam = _camera(width=128, height=32)
+
+    def loss(op):
+        out = render(means, scales, quats, op, sh, cam, use_pallas=False)
+        return jnp.sum(out.rgb)
+
+    g = np.asarray(jax.grad(loss)(opac))
+    eps = 1e-3
+    for i in range(3):
+        op_p = opac.at[i].add(eps)
+        op_m = opac.at[i].add(-eps)
+        fd = (float(loss(op_p)) - float(loss(op_m))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=1e-3)
