@@ -1,0 +1,189 @@
+"""Fine registration: render-and-compare pose refinement through the
+differentiable rasterizer.
+
+The reference's fine stage lives on an unreleased branch (reference
+README.md:63-65,126-127); the paper (arXiv:2407.05254) describes
+image-rendering-guided refinement. Here: optimize a similarity delta
+(log-scale, so(3) rotation, translation) applied on top of the coarse
+transform so that renders of the transformed source GS model match renders
+of the reference model from shared viewpoints. Entirely jitted; gradients
+flow through the Pallas rasterizer's custom VJP.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gaussreg_tpu.gs.ply import GaussianModel
+from gaussreg_tpu.gs.rasterizer.camera import Camera, look_at_camera
+from gaussreg_tpu.gs.rasterizer.render import render
+from gaussreg_tpu.gs import sh as sh_mod
+from gaussreg_tpu.ops.transforms import (
+    exp_so3,
+    matrix_to_quaternion,
+    quaternion_multiply,
+    transform_from_rotation_translation,
+)
+
+
+class GaussiansDevice(NamedTuple):
+    """Device-side gaussian arrays (activated: linear scales, sigmoid
+    opacity)."""
+
+    means: jnp.ndarray  # (G, 3)
+    scales: jnp.ndarray  # (G, 3) linear
+    quats: jnp.ndarray  # (G, 4)
+    opacities: jnp.ndarray  # (G,)
+    sh_coeffs: jnp.ndarray  # (G, 3, 16)
+    valid: jnp.ndarray  # (G,)
+
+
+def to_device_gaussians(g: GaussianModel, max_gaussians: Optional[int] = None):
+    """Activate + pad a host GaussianModel for rendering. Keeps the
+    highest-opacity gaussians when over the cap."""
+    opac = 1.0 / (1.0 + np.exp(-g.opacity[:, 0]))
+    n = g.num_gaussians
+    if max_gaussians is not None and n > max_gaussians:
+        keep = np.argsort(-opac)[:max_gaussians]
+    else:
+        keep = np.arange(n)
+    cap = max_gaussians or n
+    pad = cap - keep.shape[0]
+
+    def f(x):
+        x = x[keep]
+        return np.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    return GaussiansDevice(
+        means=jnp.asarray(f(g.xyz), jnp.float32),
+        scales=jnp.asarray(np.exp(f(g.scales)), jnp.float32),
+        quats=jnp.asarray(f(g.rots), jnp.float32),
+        opacities=jnp.asarray(np.concatenate([opac[keep], np.zeros(pad)]), jnp.float32),
+        sh_coeffs=jnp.asarray(
+            f(np.concatenate([g.f_dc, g.f_rest], axis=2)), jnp.float32
+        ),
+        valid=jnp.asarray(np.concatenate([np.ones(len(keep), bool), np.zeros(pad, bool)])),
+    )
+
+
+def transform_gaussians_device(
+    g: GaussiansDevice, transform: jnp.ndarray
+) -> GaussiansDevice:
+    """Differentiable similarity transform of device gaussians (the on-device
+    twin of gs_fusion.py:236-245)."""
+    a = transform[:3, :3]
+    t = transform[:3, 3]
+    scale = jnp.sqrt(jnp.sum(a[0] * a[0]))
+    r = a / scale
+    means = g.means @ a.T + t
+    scales = g.scales * scale
+    rq = matrix_to_quaternion(r)
+    quats = quaternion_multiply(rq[None, :], g.quats)
+    f_dc = g.sh_coeffs[:, :, :1]
+    f_rest = sh_mod.rotate_sh_rest(g.sh_coeffs[:, :, 1:], r)
+    return g._replace(
+        means=means,
+        scales=scales,
+        quats=quats,
+        sh_coeffs=jnp.concatenate([f_dc, f_rest], axis=2),
+    )
+
+
+def default_cameras(
+    points: np.ndarray, num_views: int = 4, width: int = 640, height: int = 480
+) -> List[Camera]:
+    """Synthetic orbit viewpoints around a cloud's bbox (used when no real
+    cameras.json poses are supplied)."""
+    center = points.mean(0)
+    extent = float(np.linalg.norm(points.max(0) - points.min(0)))
+    cams = []
+    for i in range(num_views):
+        angle = 2 * np.pi * i / num_views
+        eye = center + extent * np.array(
+            [np.cos(angle), 0.35, np.sin(angle)]
+        )
+        cams.append(
+            look_at_camera(eye, center, [0, 1, 0], fov_deg=60, width=width, height=height)
+        )
+    return cams
+
+
+def _delta_transform(params):
+    s = jnp.exp(params["log_s"])
+    r = exp_so3(params["omega"])
+    return transform_from_rotation_translation(s * r, params["t"])
+
+
+class FineRegistrationResult(NamedTuple):
+    transform: jnp.ndarray  # refined (4, 4) similarity src -> ref
+    losses: jnp.ndarray  # (steps,) photometric loss trace
+
+
+def fine_register(
+    ref: GaussiansDevice,
+    src: GaussiansDevice,
+    init_transform,
+    cameras: List[Camera],
+    num_steps: int = 100,
+    lr: float = 3e-3,
+    use_pallas: Optional[bool] = None,
+) -> FineRegistrationResult:
+    """Refine `init_transform` (src -> ref) by photometric render matching."""
+    init_transform = jnp.asarray(init_transform, jnp.float32)
+
+    targets = [
+        jax.lax.stop_gradient(
+            render(
+                ref.means, ref.scales, ref.quats, ref.opacities, ref.sh_coeffs,
+                cam, valid=ref.valid, use_pallas=use_pallas,
+            )
+        )
+        for cam in cameras
+    ]
+
+    def photometric_loss(params):
+        delta = _delta_transform(params)
+        transform = delta @ init_transform
+        moved = transform_gaussians_device(src, transform)
+        loss = 0.0
+        for cam, target in zip(cameras, targets):
+            out = render(
+                moved.means, moved.scales, moved.quats, moved.opacities,
+                moved.sh_coeffs, cam, valid=moved.valid, use_pallas=use_pallas,
+            )
+            # L1 on color; transmittance term keeps coverage aligned
+            loss = loss + jnp.mean(jnp.abs(out.rgb - target.rgb))
+            loss = loss + 0.1 * jnp.mean(
+                jnp.abs(out.transmittance - target.transmittance)
+            )
+        return loss / len(cameras)
+
+    params = {
+        "log_s": jnp.zeros(()),
+        "omega": jnp.zeros(3),
+        "t": jnp.zeros(3),
+    }
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(photometric_loss)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    losses = []
+    for _ in range(num_steps):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(loss)
+
+    transform = _delta_transform(params) @ init_transform
+    return FineRegistrationResult(
+        transform=transform, losses=jnp.stack(losses)
+    )

@@ -17,16 +17,31 @@ import jax.numpy as jnp
 
 
 class TileBinning(NamedTuple):
-    pair_gaussian: jnp.ndarray  # (P,) int32 gaussian index per sorted pair
-    pair_valid: jnp.ndarray  # (P,) bool
-    tile_offsets: jnp.ndarray  # (num_tiles + 1,) int32 into the sorted pairs
-    num_pairs: jnp.ndarray  # () int32 — true pair count (before cap)
+    """Sorted, per-tile-aligned pair lists.
+
+    Every tile's segment [tile_offsets[t], tile_offsets[t+1]) is padded to a
+    multiple of `align` pairs, so the Pallas kernels' chunked DMAs are always
+    tiling-aligned and tiles never share a chunk. Padding slots have
+    pair_valid == False (and gaussian index 0)."""
+
+    pair_gaussian: jnp.ndarray  # (P_aligned,) int32 gaussian index per pair
+    pair_valid: jnp.ndarray  # (P_aligned,) bool
+    tile_offsets: jnp.ndarray  # (num_tiles + 1,) int32, align-multiples
+    tile_counts: jnp.ndarray  # (num_tiles,) int32 true (unpadded) counts
+    num_pairs: jnp.ndarray  # () int32 — true pair count
     overflow: jnp.ndarray  # () int32 — pairs dropped by the per-gaussian cap
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_w", "tile_h", "width", "height", "max_tiles_per_gaussian"),
+    static_argnames=(
+        "tile_w",
+        "tile_h",
+        "width",
+        "height",
+        "max_tiles_per_gaussian",
+        "align",
+    ),
 )
 def bin_gaussians(
     means2d: jnp.ndarray,  # (G, 2)
@@ -37,6 +52,7 @@ def bin_gaussians(
     tile_w: int = 128,
     tile_h: int = 16,
     max_tiles_per_gaussian: int = 16,
+    align: int = 256,
 ) -> TileBinning:
     g = means2d.shape[0]
     ntx = (width + tile_w - 1) // tile_w
@@ -82,15 +98,37 @@ def bin_gaussians(
     sorted_gid = pair_gid[final_order]
     sorted_valid = sorted_tiles < num_tiles
 
-    tile_offsets = jnp.searchsorted(
+    raw_offsets = jnp.searchsorted(
         sorted_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
+    tile_counts = raw_offsets[1:] - raw_offsets[:-1]
+
+    # re-layout so every tile's segment starts/ends on an `align` boundary
+    padded_counts = ((tile_counts + align - 1) // align) * align
+    tile_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts, dtype=jnp.int32)]
+    )
+    cap = g * mt + num_tiles * align  # static upper bound on aligned length
+    p = sorted_tiles.shape[0]
+    rank = jnp.arange(p, dtype=jnp.int32) - raw_offsets[
+        jnp.minimum(sorted_tiles, num_tiles)
+    ]
+    new_pos = jnp.where(
+        sorted_valid, tile_offsets[jnp.minimum(sorted_tiles, num_tiles)] + rank, cap
+    )
+    pair_gaussian = (
+        jnp.zeros(cap + 1, jnp.int32).at[new_pos].set(sorted_gid)[:cap]
+    )
+    pair_valid = (
+        jnp.zeros(cap + 1, jnp.bool_).at[new_pos].set(sorted_valid)[:cap]
+    )
 
     overflow = jnp.sum(jnp.maximum(count - mt, 0))
     return TileBinning(
-        pair_gaussian=sorted_gid,
-        pair_valid=sorted_valid,
+        pair_gaussian=pair_gaussian,
+        pair_valid=pair_valid,
         tile_offsets=tile_offsets,
+        tile_counts=tile_counts,
         num_pairs=jnp.sum(jnp.minimum(count, mt)).astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
     )

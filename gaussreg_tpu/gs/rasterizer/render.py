@@ -105,13 +105,13 @@ def _render_impl(
         axis=1,
     )  # (G, 9)
     gdata = jnp.pad(gdata, ((0, 1), (0, kernels.NCHAN - gdata.shape[1])))
+    # padding slots gather the all-zero row G (alpha 0 -> no-op); the VJP of
+    # this take is the per-gaussian gradient scatter-add
     pids = jnp.where(binning.pair_valid, binning.pair_gaussian, g)
-    pair_rows = gdata[pids]  # (P, 16) — VJP of this take is the
-    # per-gaussian gradient scatter-add
-    pair_rows = jnp.pad(pair_rows, ((0, kernels.CHUNK), (0, 0)))
+    pair_rows = gdata[pids]  # (P_aligned, 16)
 
     rgb, t = kernels.rasterize_pairs(
-        pair_rows, binning.tile_offsets, hp, wp, tile_h, tile_w
+        pair_rows, binning.tile_offsets, binning.tile_counts, hp, wp, tile_h, tile_w
     )
     return RenderOutput(
         rgb[:height, :width],

@@ -112,6 +112,22 @@ def rodrigues_rotation(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     return eye + s * k + (1.0 - c) * (k @ k)
 
 
+def exp_so3(omega: jnp.ndarray) -> jnp.ndarray:
+    """so(3) exponential map with gradient-safe behavior at omega = 0
+    (Taylor fallback for the sinc-style coefficients)."""
+    a2 = jnp.sum(omega * omega, axis=-1)
+    small = a2 < 1e-8
+    # evaluate the exact branch at a safe point so its (unselected) gradient
+    # cannot produce inf * 0 = NaN through the where
+    a2_safe = jnp.where(small, 1.0, a2)
+    a = jnp.sqrt(a2_safe)
+    c1 = jnp.where(small, 1.0 - a2 / 6.0, jnp.sin(a) / a)  # sin(a)/a
+    c2 = jnp.where(small, 0.5 - a2 / 24.0, (1.0 - jnp.cos(a)) / a2_safe)
+    k = skew_symmetric(omega)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), k.shape)
+    return eye + c1[..., None, None] * k + c2[..., None, None] * (k @ k)
+
+
 def random_rotation(key: jax.Array, rotation_factor: float = 1.0) -> jnp.ndarray:
     """Random rotation: uniform axis, angle uniform in [0, 2*pi*factor).
 
@@ -173,7 +189,11 @@ def matrix_to_quaternion(m: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    q_abs = jnp.sqrt(jnp.maximum(q_abs_sq, 0.0))
+    # zero subgradient at 0 (reference gs_fusion.py:101-109): sqrt(max(x, e))
+    # saturates the gradient instead of producing inf at x == 0
+    q_abs = jnp.where(
+        q_abs_sq > 1e-10, jnp.sqrt(jnp.maximum(q_abs_sq, 1e-10)), 0.0
+    )
 
     quat_by_rijk = jnp.stack(
         [

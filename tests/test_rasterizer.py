@@ -75,24 +75,27 @@ def test_binning_covers_projected_gaussians():
         tile_w=128, tile_h=16, max_tiles_per_gaussian=8,
     )
     offs = np.asarray(b.tile_offsets)
-    assert offs[-1] == int(np.asarray(b.num_pairs))
+    counts = np.asarray(b.tile_counts)
+    assert counts.sum() == int(np.asarray(b.num_pairs))
     assert (np.diff(offs) >= 0).all()
-    # every valid pair's tile matches its position in the offset table
-    tiles = np.searchsorted(offs, np.arange(offs[-1]), side="right") - 1
-    gid = np.asarray(b.pair_gaussian)[: offs[-1]]
+    assert (offs % 256 == 0).all()  # aligned segments
+    gid = np.asarray(b.pair_gaussian)
+    valid = np.asarray(b.pair_valid)
     m2d = np.asarray(proj.means2d)
     r = np.asarray(proj.radii)
+    d = np.asarray(proj.depths)
     ntx = 2
-    for p in range(offs[-1]):
-        t, g = tiles[p], gid[p]
-        ty, tx = divmod(t, ntx)
-        # gaussian bbox must intersect this tile
-        assert m2d[g, 0] + r[g] >= tx * 128 and m2d[g, 0] - r[g] <= (tx + 1) * 128
-        assert m2d[g, 1] + r[g] >= ty * 16 and m2d[g, 1] - r[g] <= (ty + 1) * 16
-    # depth-sorted within each tile
-    d = np.asarray(proj.depths)[gid]
     for t in range(len(offs) - 1):
-        seg = d[offs[t] : offs[t + 1]]
+        lo, n = offs[t], counts[t]
+        assert valid[lo : lo + n].all()
+        assert not valid[lo + n : offs[t + 1]].any()
+        ty, tx = divmod(t, ntx)
+        for g in gid[lo : lo + n]:
+            # gaussian bbox must intersect this tile
+            assert m2d[g, 0] + r[g] >= tx * 128 and m2d[g, 0] - r[g] <= (tx + 1) * 128
+            assert m2d[g, 1] + r[g] >= ty * 16 and m2d[g, 1] - r[g] <= (ty + 1) * 16
+        # depth-sorted within each tile
+        seg = d[gid[lo : lo + n]]
         assert (np.diff(seg) >= -1e-6).all()
 
 
