@@ -1,0 +1,126 @@
+"""High-level user API: register and fuse Gaussian Splatting models.
+
+Mirrors the reference CLI flows (experiments/.../demo.py:21-183, test.py and
+gs_fusion.py) as library calls.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from gaussreg_tpu.config import Config, make_cfg
+from gaussreg_tpu.data.pipeline import make_pair_batch
+from gaussreg_tpu.gs.extract import (
+    adjust_point_cloud_volume,
+    load_point_cloud_from_gs_ply,
+)
+from gaussreg_tpu.gs.fine_registration import (
+    default_cameras,
+    fine_register,
+    to_device_gaussians,
+)
+from gaussreg_tpu.gs.fusion import gaussian_fuse  # noqa: F401 (re-export)
+from gaussreg_tpu.gs.ply import load_gaussians
+from gaussreg_tpu.models.metrics import unnormalize_transform
+from gaussreg_tpu.models.registration import create_model
+
+
+def coarse_register_clouds(
+    cfg: Config,
+    params,
+    ref_points: np.ndarray,
+    ref_feats: np.ndarray,
+    src_points: np.ndarray,
+    src_feats: np.ndarray,
+    seed: int = 0,
+) -> Dict:
+    """Run the coarse model on already-normalized clouds. Returns the output
+    dict with 'estimated_transform' in the normalized frame."""
+    model = create_model(cfg)
+    batch = make_pair_batch(cfg, ref_points, ref_feats, src_points, src_feats)
+    out = model.apply(
+        params,
+        batch,
+        train=False,
+        with_transform=True,
+        rngs={"ransac": jax.random.PRNGKey(seed)},
+    )
+    return out
+
+
+def register_gs_pair(
+    ref_ply_path: str,
+    src_ply_path: str,
+    params,
+    cfg: Optional[Config] = None,
+    point_limit: Optional[int] = None,
+    fine: bool = False,
+    fine_steps: int = 100,
+    max_fine_gaussians: int = 200000,
+    seed: int = 0,
+) -> Dict:
+    """Register two 3DGS .ply models: returns {'transform': (4, 4) similarity
+    mapping src into ref's frame, ...}.
+
+    reference flow: demo.py:126-181 — extract clouds, volume-normalize,
+    coarse registration, un-normalize; optionally refine by
+    render-and-compare (the reference's unreleased fine stage).
+    """
+    cfg = cfg or make_cfg()
+    point_limit = point_limit or cfg.train.point_limit
+
+    ref_points, ref_feats = load_point_cloud_from_gs_ply(
+        ref_ply_path, point_limit, seed=seed
+    )
+    src_points, src_feats = load_point_cloud_from_gs_ply(
+        src_ply_path, point_limit, seed=seed + 1
+    )
+
+    (
+        ref_n,
+        src_n,
+        _rot,
+        _tr,
+        ref_scale,
+        src_scale,
+        ref_center,
+        src_center,
+    ) = adjust_point_cloud_volume(
+        ref_points,
+        src_points,
+        np.eye(3),
+        np.zeros(3),
+        min_adjust_volume=30.0,
+        apply_translation=True,
+    )
+
+    out = coarse_register_clouds(
+        cfg, params, ref_n, ref_feats, src_n, src_feats, seed=seed
+    )
+    est = np.asarray(out["estimated_transform"])
+    transform = unnormalize_transform(
+        est, ref_scale, src_scale, ref_center, src_center
+    )
+
+    result = {
+        "transform": transform,
+        "coarse_transform": transform.copy(),
+        "normalized_transform": est,
+        "ransac_inliers": int(out["ransac_inliers"]),
+        "num_correspondences": int(out["num_correspondences"]),
+    }
+
+    if fine:
+        ref_g = to_device_gaussians(load_gaussians(ref_ply_path), max_fine_gaussians)
+        src_g = to_device_gaussians(load_gaussians(src_ply_path), max_fine_gaussians)
+        cams = default_cameras(np.asarray(ref_g.means), num_views=4)
+        fine_out = fine_register(
+            ref_g, src_g, transform, cams, num_steps=fine_steps
+        )
+        result["transform"] = np.asarray(fine_out.transform)
+        result["fine_losses"] = np.asarray(fine_out.losses)
+
+    return result

@@ -1,24 +1,32 @@
 """Pallas TPU kernels: tile-based gaussian alpha compositing, forward +
-analytic backward.
+analytic backward — fully vectorized (no per-gaussian scalar loop).
 
-Design (see SURVEY.md §7.2 step 6 / §7.3):
-- tiles are (tile_h x tile_w) pixel blocks sized for the VPU lane layout
-  (tile_w = 128 lanes);
-- per-tile gaussian lists come from binning.py as CHUNK-aligned ranges into
-  a pair-major data array (P_aligned, 128): one 128-lane row per pair, so
-  every chunked DMA is tiling-aligned, no two tiles ever share a chunk, and
-  per-gaussian reads use a dynamic *sublane* index with static lane offsets
-  (Mosaic cannot index lanes dynamically);
-- forward walks each tile's pairs front-to-back, compositing into VMEM
-  accumulators; backward walks back-to-front, reconstructing per-gaussian
-  transmittance by division (alpha is clamped <= 0.99 so 1-alpha >= 0.01)
-  and writing *per-pair* gradient rows — gradient accumulation to gaussians
-  is the VJP of the pair gather outside the kernel (an XLA scatter-add),
-  keeping the kernel atomics-free.
+Key idea (TPU-native; see SURVEY.md §7.2 step 6): for a chunk of K gaussians
+and a tile of 2048 pixels,
 
-Pair channel layout (first 9 of 128 lanes used):
-  0: mean_x  1: mean_y  2: conic_a  3: conic_b  4: conic_c
-  5: opacity 6: r  7: g  8: b  9..127: padding
+- each gaussian's log-density is a quadratic form in pixel coords, so the
+  (K, 2048) exponent matrix is ONE MXU matmul: coeffs (K, 8) @ phi (8, 2048)
+  with phi = [1, x, y, x^2, xy, y^2, 0, 0]; the six coefficients are
+  precomputed (differentiably) outside the kernel from means/conics;
+- the front-to-back compositing recurrence T_j = prod_{i<j}(1 - a_i) becomes
+  a log-space *prefix sum*, computed as a strictly-lower-triangular (K, K)
+  matmul on the MXU — the only sequential dependency left is one (1, 2048)
+  carry per chunk;
+- color accumulation and all per-gaussian gradient reductions are matmuls
+  contracting either the pixel axis or the gaussian axis.
+
+The backward runs in forward order (prefix recomputation): suffix color
+inner products come from <d, S_j> = <d, final_rgb> - <d, prefix_j>.
+Per-pair gradient rows are written out chunk-by-chunk (atomics-free);
+accumulation onto gaussians is the VJP of the pair gather outside (an XLA
+scatter-add), and the chain from the quadratic coefficients back to
+means2d/conics is ordinary autodiff outside the kernel.
+
+Pair channel layout (P_aligned, 128), first 10 lanes used:
+  0..5: quadratic coeffs [a0, ax, ay, axx, axy, ayy]
+  6: opacity  7: r  8: g  9: b
+(the coeff matmul consumes lanes 0..7; phi rows 6, 7 are zero so lanes 6, 7
+contribute nothing there.)
 """
 
 from __future__ import annotations
@@ -34,65 +42,67 @@ from jax.experimental.pallas import tpu as pltpu
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
-CHUNK = 256  # pair rows per DMA
-NCHAN = 128  # channels per pair row (first 9 used; 128 so the dynamic
-# per-gaussian index lands on the sublane dim and channel offsets are
-# static lane indices — Mosaic cannot index lanes dynamically)
-PACK = 1
-CROWS = CHUNK
+CHUNK = 128  # gaussians per chunk (= sublane rows of the working set)
+NCHAN = 128  # one 128-lane row per pair
 
 
-def _tile_pixel_coords(t, ntx, tile_h, tile_w):
-    ty = t // ntx
-    tx = t % ntx
-    py = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-        + ty.astype(jnp.float32) * tile_h
-        + 0.5
+def _phi_and_masks(t, ntx, tile_h, tile_w):
+    """phi (8, NPIX) quadratic basis at this tile's pixel centers."""
+    npix = tile_h * tile_w
+    ty = (t // ntx).astype(jnp.float32)
+    tx = (t % ntx).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+    x = (lane % tile_w).astype(jnp.float32) + tx * tile_w + 0.5
+    y = (lane // tile_w).astype(jnp.float32) + ty * tile_h + 0.5
+    one = jnp.ones((1, npix), jnp.float32)
+    zero = jnp.zeros((1, npix), jnp.float32)
+    phi = jnp.concatenate([one, x, y, x * x, x * y, y * y, zero, zero], axis=0)
+    return phi
+
+
+def _tri_matrices():
+    """Strict and inclusive lower-triangular (CHUNK, CHUNK) f32 constants."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    strict = (r > c).astype(jnp.float32)
+    incl = (r >= c).astype(jnp.float32)
+    return strict, incl
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    px = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-        + tx.astype(jnp.float32) * tile_w
-        + 0.5
-    )
-    return px, py
 
 
-def _pr(chunk_ref, slot, j, c):
-    """Read pair j's channel c from a (slots, CHUNK, 128) chunk: j is a
-    dynamic sublane index, c a static lane index."""
-    return chunk_ref[slot, j, c]
-
-
-def _alpha_for(chunk_ref, slot, j, px, py):
-    mx = _pr(chunk_ref, slot, j, 0)
-    my = _pr(chunk_ref, slot, j, 1)
-    ca = _pr(chunk_ref, slot, j, 2)
-    cb = _pr(chunk_ref, slot, j, 3)
-    cc = _pr(chunk_ref, slot, j, 4)
-    op = _pr(chunk_ref, slot, j, 5)
-    dx = px - mx
-    dy = py - my
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    gauss = jnp.exp(jnp.minimum(power, 0.0))
-    alpha = op * gauss
-    alpha = jnp.where(alpha < ALPHA_MIN, 0.0, jnp.minimum(alpha, ALPHA_MAX))
-    return alpha, gauss, (dx, dy), op
+def _chunk_alpha(coeffs, phi, rowmask):
+    """alpha/gauss tensors for one chunk. coeffs (K, 128); returns
+    (alpha, graw, raw) each (K, NPIX)."""
+    power = _dot(coeffs[:, 0:8], phi, (((1,), (0,))))  # (K, NPIX)
+    graw = jnp.exp(jnp.minimum(power, 0.0))
+    op = coeffs[:, 6:7]  # (K, 1)
+    raw = op * graw
+    alpha = jnp.where(raw < ALPHA_MIN, 0.0, jnp.minimum(raw, ALPHA_MAX))
+    alpha = alpha * rowmask
+    return alpha, graw, raw
 
 
 def _forward_kernel(ntx: int, tile_h: int, tile_w: int):
-    def kernel(offsets_ref, counts_ref, pair_ref, out_ref, chunk, sem):
+    npix = tile_h * tile_w
+
+    def kernel(offsets_ref, counts_ref, pair_ref, out_ref, chunk, sem, rgb_acc, t_row):
         t = pl.program_id(0)
         start = pl.multiple_of(offsets_ref[t], CHUNK)
         n = counts_ref[t]
         num_chunks = jax.lax.div(n + CHUNK - 1, CHUNK)
 
-        px, py = _tile_pixel_coords(t, ntx, tile_h, tile_w)
+        phi = _phi_and_masks(t, ntx, tile_h, tile_w)
+        l_strict, _ = _tri_matrices()
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
-        out_ref[0] = jnp.zeros((tile_h, tile_w), jnp.float32)
-        out_ref[1] = jnp.zeros((tile_h, tile_w), jnp.float32)
-        out_ref[2] = jnp.zeros((tile_h, tile_w), jnp.float32)
-        out_ref[3] = jnp.ones((tile_h, tile_w), jnp.float32)
+        rgb_acc[...] = jnp.zeros((4, npix), jnp.float32)
+        t_row[...] = jnp.ones((1, npix), jnp.float32)
 
         def get_dma(slot, k):
             return pltpu.make_async_copy(
@@ -113,46 +123,53 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int):
                 get_dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
             get_dma(slot, k).wait()
-            valid_in_chunk = jnp.minimum(n - k * CHUNK, CHUNK)
+            coeffs = chunk[slot]  # (K, 128)
+            rowmask = (row_ids < (n - k * CHUNK)).astype(jnp.float32)
+            alpha, _, _ = _chunk_alpha(coeffs, phi, rowmask)
 
-            def g_body(j, _):
-                @pl.when(j < valid_in_chunk)
-                def _():
-                    alpha, _, _, _ = _alpha_for(chunk, slot, j, px, py)
-                    t_cur = out_ref[3]
-                    w = alpha * t_cur
-                    out_ref[0] = out_ref[0] + _pr(chunk, slot, j, 6) * w
-                    out_ref[1] = out_ref[1] + _pr(chunk, slot, j, 7) * w
-                    out_ref[2] = out_ref[2] + _pr(chunk, slot, j, 8) * w
-                    out_ref[3] = t_cur * (1.0 - alpha)
-
-                return 0
-
-            jax.lax.fori_loop(0, CHUNK, g_body, 0)
+            lg = jnp.log1p(-alpha)
+            cum = _dot(l_strict, lg, (((1,), (0,))))  # exclusive prefix
+            tj = t_row[...] * jnp.exp(cum)  # (K, NPIX)
+            w = alpha * tj
+            colors = coeffs[:, 7:10]  # (K, 3)
+            rgb_acc[0:3] = rgb_acc[0:3] + _dot(colors, w, (((0,), (0,))))
+            t_row[...] = t_row[...] * jnp.exp(
+                cum[CHUNK - 1 : CHUNK, :] + lg[CHUNK - 1 : CHUNK, :]
+            )
             return 0
 
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+        rgb_acc[3:4] = t_row[...]
+        out_ref[0] = rgb_acc[...]
 
     return kernel
 
 
 def _backward_kernel(ntx: int, tile_h: int, tile_w: int):
+    npix = tile_h * tile_w
+
     def kernel(
         offsets_ref, counts_ref, pair_ref, ct_ref, grad_out_ref,
-        chunk, gchunk, sem, gsem,
+        chunk, gchunk, sem, gsem, t_row, vp_row,
     ):
-        # ct_ref: (5, tile_h, tile_w) = [d_r, d_g, d_b, d_T, T_final]
+        # ct_ref block: (1, 6, NPIX) = [d_r, d_g, d_b, d_T, T_final, v]
+        # with v = sum_ch d_ch * final_rgb_ch
         t = pl.program_id(0)
         start = pl.multiple_of(offsets_ref[t], CHUNK)
         n = counts_ref[t]
         num_chunks = jax.lax.div(n + CHUNK - 1, CHUNK)
 
-        px, py = _tile_pixel_coords(t, ntx, tile_h, tile_w)
-        d_r = ct_ref[0]
-        d_g = ct_ref[1]
-        d_b = ct_ref[2]
-        d_t_final = ct_ref[3]
-        t_final = ct_ref[4]
+        phi = _phi_and_masks(t, ntx, tile_h, tile_w)
+        l_strict, l_incl = _tri_matrices()
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+
+        d_rgb = ct_ref[0, 0:3]  # (3, NPIX)
+        d_t_final = ct_ref[0, 3:4]  # (1, NPIX)
+        t_final = ct_ref[0, 4:5]
+        v = ct_ref[0, 5:6]
+
+        t_row[...] = jnp.ones((1, npix), jnp.float32)
+        vp_row[...] = jnp.zeros((1, npix), jnp.float32)  # <d, prefix so far>
 
         def in_dma(slot, k):
             return pltpu.make_async_copy(
@@ -168,166 +185,142 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int):
                 gsem.at[slot],
             )
 
-        def scoped(t_run, s_r, s_g, s_b):
-            t_run[...] = t_final
-            s_r[...] = jnp.zeros((tile_h, tile_w), jnp.float32)
-            s_g[...] = jnp.zeros((tile_h, tile_w), jnp.float32)
-            s_b[...] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        @pl.when(num_chunks > 0)
+        def _():
+            in_dma(0, 0).start()
 
-            @pl.when(num_chunks > 0)
+        def chunk_body(k, _):
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < num_chunks)
             def _():
-                in_dma(0, num_chunks - 1).start()
+                in_dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
-            def chunk_body(kk, _):
-                k = num_chunks - 1 - kk  # reverse chunk order
-                slot = jax.lax.rem(kk, 2)
+            in_dma(slot, k).wait()
 
-                @pl.when(kk + 1 < num_chunks)
-                def _():
-                    in_dma(jax.lax.rem(kk + 1, 2), k - 1).start()
-
-                in_dma(slot, k).wait()
-
-                # this slot's previous grad write-out must land before reuse
-                @pl.when(kk >= 2)
-                def _():
-                    out_dma(slot, k + 2).wait()
-
-                gchunk[slot] = jnp.zeros((CHUNK, NCHAN), jnp.float32)
-                valid_in_chunk = jnp.minimum(n - k * CHUNK, CHUNK)
-
-                def g_body(jj, _):
-                    j = CHUNK - 1 - jj  # reverse within chunk
-
-                    @pl.when(j < valid_in_chunk)
-                    def _():
-                        alpha, gauss, (dx, dy), op = _alpha_for(
-                            chunk, slot, j, px, py
-                        )
-                        cr = _pr(chunk, slot, j, 6)
-                        cg = _pr(chunk, slot, j, 7)
-                        cb_col = _pr(chunk, slot, j, 8)
-                        one_m = 1.0 - alpha
-                        t_before = t_run[...] / one_m
-                        d_alpha = (
-                            (cr * d_r + cg * d_g + cb_col * d_b) * t_before
-                            - (s_r[...] * d_r + s_g[...] * d_g + s_b[...] * d_b)
-                            / one_m
-                            - d_t_final * t_final / one_m
-                        )
-                        raw = op * gauss
-                        active = (raw >= ALPHA_MIN) & (raw <= ALPHA_MAX)
-                        d_alpha = jnp.where(active, d_alpha, 0.0)
-
-                        w = alpha * t_before
-                        gchunk[slot, j, 6] = jnp.sum(d_r * w)
-                        gchunk[slot, j, 7] = jnp.sum(d_g * w)
-                        gchunk[slot, j, 8] = jnp.sum(d_b * w)
-
-                        d_power = d_alpha * alpha
-                        gchunk[slot, j, 5] = jnp.sum(d_alpha * gauss)
-                        gchunk[slot, j, 2] = jnp.sum(d_power * (-0.5 * dx * dx))
-                        gchunk[slot, j, 3] = jnp.sum(d_power * (-dx * dy))
-                        gchunk[slot, j, 4] = jnp.sum(d_power * (-0.5 * dy * dy))
-                        ca = _pr(chunk, slot, j, 2)
-                        cb = _pr(chunk, slot, j, 3)
-                        cc = _pr(chunk, slot, j, 4)
-                        d_dx = d_power * (-(ca * dx + cb * dy))
-                        d_dy = d_power * (-(cc * dy + cb * dx))
-                        gchunk[slot, j, 0] = -jnp.sum(d_dx)
-                        gchunk[slot, j, 1] = -jnp.sum(d_dy)
-
-                        s_r[...] = s_r[...] + cr * w
-                        s_g[...] = s_g[...] + cg * w
-                        s_b[...] = s_b[...] + cb_col * w
-                        t_run[...] = t_before
-
-                    return 0
-
-                jax.lax.fori_loop(0, CHUNK, g_body, 0)
-                out_dma(slot, k).start()
-                return 0
-
-            jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
-
-            @pl.when(num_chunks >= 1)
+            @pl.when(k >= 2)
             def _():
-                out_dma(jax.lax.rem(num_chunks - 1, 2), 0).wait()
+                out_dma(slot, k - 2).wait()
 
-            @pl.when(num_chunks >= 2)
-            def _():
-                out_dma(jax.lax.rem(num_chunks - 2, 2), 1).wait()
+            coeffs = chunk[slot]
+            rowmask = (row_ids < (n - k * CHUNK)).astype(jnp.float32)
+            alpha, graw, raw = _chunk_alpha(coeffs, phi, rowmask)
+            colors = coeffs[:, 7:10]  # (K, 3)
 
-        pl.run_scoped(
-            scoped,
-            t_run=pltpu.VMEM((tile_h, tile_w), jnp.float32),
-            s_r=pltpu.VMEM((tile_h, tile_w), jnp.float32),
-            s_g=pltpu.VMEM((tile_h, tile_w), jnp.float32),
-            s_b=pltpu.VMEM((tile_h, tile_w), jnp.float32),
-        )
+            lg = jnp.log1p(-alpha)
+            cum = _dot(l_strict, lg, (((1,), (0,))))
+            tj = t_row[...] * jnp.exp(cum)
+            w = alpha * tj
+            one_m = 1.0 - alpha
+
+            e = _dot(colors, d_rgb, (((1,), (0,))))  # (K, NPIX)
+            ew = e * w
+            u = vp_row[...] + _dot(l_incl, ew, (((1,), (0,))))  # <d, P_j>
+            d_alpha = (
+                e * tj
+                - (v - u) / one_m
+                - d_t_final * t_final / one_m
+            )
+            active = ((raw >= ALPHA_MIN) & (raw <= ALPHA_MAX)).astype(jnp.float32)
+            d_alpha = d_alpha * active * rowmask
+
+            d_colors = _dot(w, d_rgb, (((1,), (1,))))  # (K, 3)
+            d_op = jnp.sum(d_alpha * graw, axis=1, keepdims=True)  # (K, 1)
+            d_power = d_alpha * alpha
+            d_coef = _dot(d_power, phi, (((1,), (1,))))  # (K, 8)
+
+            gchunk[slot] = jnp.zeros((CHUNK, NCHAN), jnp.float32)
+            gchunk[slot, :, 0:6] = d_coef[:, 0:6]
+            gchunk[slot, :, 6:7] = d_op
+            gchunk[slot, :, 7:10] = d_colors
+
+            # carries
+            t_row[...] = t_row[...] * jnp.exp(
+                cum[CHUNK - 1 : CHUNK, :] + lg[CHUNK - 1 : CHUNK, :]
+            )
+            vp_row[...] = vp_row[...] + _dot(
+                jnp.ones((1, CHUNK), jnp.float32), ew, (((1,), (0,)))
+            )
+
+            out_dma(slot, k).start()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        @pl.when(num_chunks >= 1)
+        def _():
+            out_dma(jax.lax.rem(num_chunks - 1, 2), num_chunks - 1).wait()
+
+        @pl.when(num_chunks >= 2)
+        def _():
+            out_dma(jax.lax.rem(num_chunks - 2, 2), num_chunks - 2).wait()
 
     return kernel
 
 
-def pack_pair_rows(pair_rows: jnp.ndarray) -> jnp.ndarray:
-    """Identity — pair rows are already (P_aligned, NCHAN)."""
-    assert pair_rows.shape[1] == NCHAN, pair_rows.shape
-    return pair_rows
+def _tiles_to_image(per_tile, nty, ntx, tile_h, tile_w, c):
+    """(num_tiles, c, tile_h*tile_w) -> (c, H, W) outside the kernel."""
+    x = per_tile.reshape(nty, ntx, c, tile_h, tile_w)
+    return x.transpose(2, 0, 3, 1, 4).reshape(c, nty * tile_h, ntx * tile_w)
 
 
-def unpack_pair_rows(packed: jnp.ndarray) -> jnp.ndarray:
-    return packed
+def _image_to_tiles(planes, nty, ntx, tile_h, tile_w):
+    """(c, H, W) -> (num_tiles, c, tile_h*tile_w)."""
+    c = planes.shape[0]
+    x = planes.reshape(c, nty, tile_h, ntx, tile_w)
+    return x.transpose(1, 3, 0, 2, 4).reshape(nty * ntx, c, tile_h * tile_w)
 
 
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "tile_h", "tile_w")
 )
 def _rasterize_fwd_impl(
-    packed_pairs, tile_offsets, tile_counts, height, width, tile_h, tile_w
+    pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w
 ):
     ntx = width // tile_w
     nty = height // tile_h
     num_tiles = ntx * nty
+    npix = tile_h * tile_w
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (4, tile_h, tile_w),
-            lambda t, offsets, counts: (0, t // ntx, t % ntx),
+            (1, 4, npix), lambda t, offsets, counts: (t, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, CHUNK, NCHAN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, npix), jnp.float32),
+            pltpu.VMEM((1, npix), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         _forward_kernel(ntx, tile_h, tile_w),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, height, width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 4, npix), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(tile_offsets, tile_counts, packed_pairs)
-    return out
+    )(tile_offsets, tile_counts, pair_rows)
+    return _tiles_to_image(out, nty, ntx, tile_h, tile_w, 4)
 
 
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "tile_h", "tile_w")
 )
 def _rasterize_bwd_impl(
-    packed_pairs, tile_offsets, tile_counts, ct_planes, height, width, tile_h, tile_w
+    pair_rows, tile_offsets, tile_counts, ct_planes, height, width, tile_h, tile_w
 ):
     ntx = width // tile_w
     nty = height // tile_h
     num_tiles = ntx * nty
+    npix = tile_h * tile_w
+    ct_tiles = _image_to_tiles(ct_planes, nty, ntx, tile_h, tile_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (5, tile_h, tile_w),
-                lambda t, offsets, counts: (0, t // ntx, t % ntx),
-            ),
+            pl.BlockSpec((1, 6, npix), lambda t, offsets, counts: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -335,15 +328,17 @@ def _rasterize_bwd_impl(
             pltpu.VMEM((2, CHUNK, NCHAN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, npix), jnp.float32),
+            pltpu.VMEM((1, npix), jnp.float32),
         ],
     )
     grads = pl.pallas_call(
         _backward_kernel(ntx, tile_h, tile_w),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(packed_pairs.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(pair_rows.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() != "tpu",
-    )(tile_offsets, tile_counts, packed_pairs, ct_planes)
+    )(tile_offsets, tile_counts, pair_rows, ct_tiles)
     return grads
 
 
@@ -360,8 +355,8 @@ def rasterize_pairs(
     """Composite aligned (gaussian, tile) pair data into an image.
 
     Args:
-        pair_rows: (P_aligned, 16) pair-major channels (P_aligned a multiple
-            of PACK; segments aligned to CHUNK by binning).
+        pair_rows: (P_aligned, 128) pair-major channels (see module
+            docstring); segments CHUNK-aligned by binning.
         tile_offsets: (num_tiles + 1,) int32 aligned ranges into pair_rows.
         tile_counts: (num_tiles,) int32 true per-tile pair counts.
 
@@ -369,33 +364,32 @@ def rasterize_pairs(
         rgb (H, W, 3), transmittance (H, W).
     """
     out = _rasterize_fwd_impl(
-        pack_pair_rows(pair_rows), tile_offsets, tile_counts, height, width,
-        tile_h, tile_w,
+        pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w
     )
     return jnp.moveaxis(out[:3], 0, -1), out[3]
 
 
 def _fwd(pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w):
     out = _rasterize_fwd_impl(
-        pack_pair_rows(pair_rows), tile_offsets, tile_counts, height, width,
-        tile_h, tile_w,
+        pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w
     )
     rgb = jnp.moveaxis(out[:3], 0, -1)
     t = out[3]
-    return (rgb, t), (pair_rows, tile_offsets, tile_counts, t)
+    return (rgb, t), (pair_rows, tile_offsets, tile_counts, rgb, t)
 
 
 def _bwd(height, width, tile_h, tile_w, residuals, cts):
-    pair_rows, tile_offsets, tile_counts, t_final = residuals
+    pair_rows, tile_offsets, tile_counts, rgb_final, t_final = residuals
     d_rgb, d_t = cts
+    d_planes = jnp.moveaxis(d_rgb, -1, 0)  # (3, H, W)
+    v = jnp.sum(d_planes * jnp.moveaxis(rgb_final, -1, 0), axis=0)  # (H, W)
     ct_planes = jnp.concatenate(
-        [jnp.moveaxis(d_rgb, -1, 0), d_t[None], t_final[None]], axis=0
+        [d_planes, d_t[None], t_final[None], v[None]], axis=0
     )
-    packed_grads = _rasterize_bwd_impl(
-        pack_pair_rows(pair_rows), tile_offsets, tile_counts, ct_planes,
-        height, width, tile_h, tile_w,
+    grads = _rasterize_bwd_impl(
+        pair_rows, tile_offsets, tile_counts, ct_planes, height, width,
+        tile_h, tile_w,
     )
-    grads = unpack_pair_rows(packed_grads)
     covered = (
         jnp.arange(pair_rows.shape[0], dtype=jnp.int32) < tile_offsets[-1]
     )
@@ -406,3 +400,18 @@ def _bwd(height, width, tile_h, tile_w, residuals, cts):
 
 
 rasterize_pairs.defvjp(_fwd, _bwd)
+
+
+def quadratic_coeffs(means2d: jnp.ndarray, conics: jnp.ndarray) -> jnp.ndarray:
+    """Per-gaussian quadratic exponent coefficients (G, 6): power(px) =
+    a0 + ax*x + ay*y + axx*x^2 + axy*x*y + ayy*y^2. Differentiable — the
+    kernel returns d/d_coeffs and autodiff maps back to means/conics."""
+    mx, my = means2d[:, 0], means2d[:, 1]
+    ca, cb, cc = conics[:, 0], conics[:, 1], conics[:, 2]
+    a0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
+    ax = ca * mx + cb * my
+    ay = cc * my + cb * mx
+    axx = -0.5 * ca
+    axy = -cb
+    ayy = -0.5 * cc
+    return jnp.stack([a0, ax, ay, axx, axy, ayy], axis=1)

@@ -92,18 +92,18 @@ def _render_impl(
         tile_w=tile_w,
         tile_h=tile_h,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
+        align=kernels.CHUNK,
     )
 
     g = means3d.shape[0]
     gdata = jnp.concatenate(
         [
-            proj.means2d,
-            proj.conics,
+            kernels.quadratic_coeffs(proj.means2d, proj.conics),
             proj.opacities[:, None],
             proj.colors,
         ],
         axis=1,
-    )  # (G, 9)
+    )  # (G, 10)
     gdata = jnp.pad(gdata, ((0, 1), (0, kernels.NCHAN - gdata.shape[1])))
     # padding slots gather the all-zero row G (alpha 0 -> no-op); the VJP of
     # this take is the per-gaussian gradient scatter-add

@@ -110,9 +110,9 @@ def test_pallas_matches_reference_forward():
     assert int(out_pal.overflow) == 0
     ref = np.asarray(out_ref.rgb)
     pal = np.asarray(out_pal.rgb)
-    np.testing.assert_allclose(pal, ref, atol=2e-5)
+    np.testing.assert_allclose(pal, ref, atol=5e-4)
     np.testing.assert_allclose(
-        np.asarray(out_pal.transmittance), np.asarray(out_ref.transmittance), atol=2e-5
+        np.asarray(out_pal.transmittance), np.asarray(out_ref.transmittance), atol=5e-4
     )
 
 

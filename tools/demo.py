@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Register two arbitrary GS models and write the estimated transform.
+
+reference: experiments/geotransformer.gaussian_splatting.indoor/demo.py:21-183.
+
+Usage:
+    python tools/demo.py --ref A/point_cloud.ply --src B/point_cloud.ply \
+        --weights snapshots/snapshot.msgpack --output_dir demo_outputs [--fine]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ref", required=True, help="reference GS .ply")
+    parser.add_argument("--src", required=True, help="source GS .ply")
+    parser.add_argument("--weights", default=None, help="model checkpoint (.msgpack)")
+    parser.add_argument("--output_dir", default="demo_outputs")
+    parser.add_argument("--point_limit", type=int, default=30000)
+    parser.add_argument("--fine", action="store_true", help="render-and-compare refinement")
+    parser.add_argument("--fine_steps", type=int, default=100)
+    args = parser.parse_args()
+
+    import jax
+
+    from gaussreg_tpu.api import register_gs_pair
+    from gaussreg_tpu.config import make_cfg
+    from gaussreg_tpu.data.pipeline import make_pair_batch
+    from gaussreg_tpu.data.synthetic import random_pair
+    from gaussreg_tpu.engine.checkpoint import load_checkpoint
+    from gaussreg_tpu.models.registration import create_model
+
+    cfg = make_cfg()
+    model = create_model(cfg)
+    rp, rf, sp, sf, m = random_pair(cfg, 0, num_points=2000)
+    example = make_pair_batch(cfg, rp, rf, sp, sf, m)
+    init = jax.jit(
+        lambda k, b: model.init(
+            {"params": k, "sample": k, "ransac": k}, b, train=False,
+            with_transform=False,
+        )
+    )
+    params = init(jax.random.PRNGKey(0), example)
+    if args.weights:
+        params = load_checkpoint(args.weights, params)
+
+    result = register_gs_pair(
+        args.ref,
+        args.src,
+        params,
+        cfg,
+        point_limit=args.point_limit,
+        fine=args.fine,
+        fine_steps=args.fine_steps,
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_path = os.path.join(args.output_dir, "estimated_transform.npz")
+    np.savez(out_path, estimated_transform=result["transform"])
+    print(f"estimated transform (src -> ref):\n{result['transform']}")
+    print(f"RANSAC inliers: {result['ransac_inliers']}")
+    print(f"saved {out_path}")
+
+
+if __name__ == "__main__":
+    main()

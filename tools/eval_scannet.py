@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Full ScanNet-GSReg test-split evaluation (672 scenes).
+
+reference: experiments/geotransformer.gaussian_splatting.indoor/test.py:120-216
+— per scene: load A/B GS plys with frame alignment, normalize, coarse
+registration, un-normalize, RRE/RTE/RSE + threshold recalls.
+
+Usage:
+    python tools/eval_scannet.py --scannet_path /path/to/ScanNet-GSReg \
+        --weights snapshot.msgpack --output_path eval_out [--fine]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scannet_path", required=True)
+    parser.add_argument("--weights", default=None)
+    parser.add_argument("--output_path", default="eval_outputs")
+    parser.add_argument("--num_sample", type=int, default=30000)
+    parser.add_argument("--fine", action="store_true")
+    parser.add_argument("--limit_scenes", type=int, default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    from gaussreg_tpu.api import coarse_register_clouds
+    from gaussreg_tpu.config import make_cfg
+    from gaussreg_tpu.data.pipeline import make_pair_batch
+    from gaussreg_tpu.data.synthetic import random_pair
+    from gaussreg_tpu.engine.checkpoint import load_checkpoint
+    from gaussreg_tpu.gs.extract import (
+        adjust_point_cloud_volume,
+        load_point_cloud_from_gs_ply,
+    )
+    from gaussreg_tpu.models.metrics import unnormalize_transform
+    from gaussreg_tpu.models.registration import create_model
+
+    cfg = make_cfg()
+    model = create_model(cfg)
+    rp, rf, sp, sf, m = random_pair(cfg, 0, num_points=2000)
+    example = make_pair_batch(cfg, rp, rf, sp, sf, m)
+    init = jax.jit(
+        lambda k, b: model.init(
+            {"params": k, "sample": k, "ransac": k}, b, train=False,
+            with_transform=False,
+        )
+    )
+    params = init(jax.random.PRNGKey(0), example)
+    if args.weights:
+        params = load_checkpoint(args.weights, params)
+
+    scene_list = np.load(
+        os.path.join(args.scannet_path, "test_transformations.npz"),
+        allow_pickle=True,
+    )["transformations"].item()
+    gt_list = scene_list["gt_transformations_list"]
+    ref_list = scene_list["ref_transformations_list"]
+    src_list = scene_list["src_transformations_list"]
+
+    rre_list, rte_list, rse_list = [], [], []
+    estimated = {}
+    scenes = list(gt_list)
+    if args.limit_scenes:
+        scenes = scenes[: args.limit_scenes]
+
+    for idx, scene in enumerate(scenes):
+        scene_path = os.path.join(args.scannet_path, "test", str(scene))
+        ref_ply = os.path.join(
+            scene_path, "A/output/point_cloud/iteration_10000/point_cloud.ply"
+        )
+        src_ply = os.path.join(
+            scene_path, "B/output/point_cloud/iteration_10000/point_cloud.ply"
+        )
+        ref_points, ref_feats = load_point_cloud_from_gs_ply(
+            ref_ply, args.num_sample, transformation=ref_list[scene]
+        )
+        src_points, src_feats = load_point_cloud_from_gs_ply(
+            src_ply, args.num_sample, transformation=src_list[scene]
+        )
+        gt = gt_list[scene]
+        (
+            ref_n, src_n, rot, tr, ref_scale, src_scale, ref_center, src_center,
+        ) = adjust_point_cloud_volume(
+            ref_points, src_points, gt[:3, :3].copy(), gt[:3, 3].copy(),
+            min_adjust_volume=30.0, apply_translation=True,
+        )
+        out = coarse_register_clouds(
+            cfg, params, ref_n, ref_feats, src_n, src_feats, seed=idx
+        )
+        est = unnormalize_transform(
+            np.asarray(out["estimated_transform"]),
+            ref_scale, src_scale, ref_center, src_center,
+        )
+        estimated[str(scene)] = est
+
+        # metrics against the ORIGINAL-frame gt (reference test.py:196-198)
+        from gaussreg_tpu.models.metrics import isotropic_transform_error
+        import jax.numpy as jnp
+
+        gt44 = np.eye(4, dtype=np.float32)
+        gt44[:3, :3] = gt[:3, :3]
+        gt44[:3, 3] = gt[:3, 3]
+        rre, rte, rse = isotropic_transform_error(
+            jnp.asarray(gt44), jnp.asarray(est)
+        )
+        rre_list.append(float(rre))
+        rte_list.append(float(rte))
+        rse_list.append(float(rse))
+        print(
+            f"[{idx + 1}/{len(scenes)}] {scene}: RRE {float(rre):.2f} "
+            f"RTE {float(rte):.3f} RSE {float(rse):.3f}"
+        )
+
+    os.makedirs(args.output_path, exist_ok=True)
+    np.savez(
+        os.path.join(args.output_path, "estimated_transform.npz"),
+        estimated_transform_list=estimated,
+    )
+    rre = np.array(rre_list)
+    rte = np.array(rte_list)
+    rse = np.array(rse_list)
+    # threshold recall printout (reference test.py:204-212)
+    print("rre_avg:", rre.mean())
+    print("rte_avg:", rte.mean())
+    print("rse_avg:", rse.mean())
+    print("rre < 5:", (rre < 5).mean())
+    print("rre < 10:", (rre < 10).mean())
+    print("rte < 0.1:", (rte < 0.1).mean())
+    print("rte < 0.2:", (rte < 0.2).mean())
+    print("rse < 0.1:", (rse < 0.1).mean())
+    print("rse < 0.2:", (rse < 0.2).mean())
+
+
+if __name__ == "__main__":
+    main()

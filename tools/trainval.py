@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Train the coarse registration model on ScanNet-GSReg (or synthetic data).
+
+reference: experiments/geotransformer.gaussian_splatting.indoor/trainval.py:15-64
+and the epoch loop at geotransformer/engine/epoch_based_trainer.py:82-181.
+
+Single-host multi-chip data parallelism comes from the device mesh (the
+batch axis is sharded); multi-host runs initialize jax.distributed and feed
+per-process batch slices.
+
+Usage:
+    python tools/trainval.py --data_root /path/to/ScanNet-GSReg \
+        --output_dir output [--resume] [--synthetic]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_root", default=None)
+    parser.add_argument("--output_dir", default="output/gaussreg_tpu")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--max_epoch", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None, help="global pairs per step (default: one per device)")
+    parser.add_argument("--log_steps", type=int, default=10)
+    parser.add_argument("--val_pairs", type=int, default=64)
+    parser.add_argument(
+        "--synthetic", action="store_true",
+        help="train on synthetic pairs (no dataset required; smoke/bench)",
+    )
+    parser.add_argument("--synthetic_pairs", type=int, default=256)
+    parser.add_argument("--distributed", action="store_true", help="multi-host: call jax.distributed.initialize()")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from gaussreg_tpu.config import make_cfg
+    from gaussreg_tpu.data.pipeline import make_pair_batch
+    from gaussreg_tpu.data.synthetic import random_pair
+    from gaussreg_tpu.engine.checkpoint import (
+        load_checkpoint,
+        load_metadata,
+        save_checkpoint,
+    )
+    from gaussreg_tpu.engine.summary import (
+        ScalarWriter,
+        SummaryBoard,
+        Timer,
+        format_metrics,
+        get_logger,
+    )
+    from gaussreg_tpu.engine.trainer import (
+        TrainState,
+        create_train_state,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+    )
+    from gaussreg_tpu.models.registration import create_model
+    from gaussreg_tpu.parallel.mesh import make_mesh, shard_batch_pytree
+
+    cfg = make_cfg()
+    max_epoch = args.max_epoch or cfg.optim.max_epoch
+    logger = get_logger(os.path.join(args.output_dir, "train.log") if jax.process_index() == 0 else None)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    devices = jax.devices()
+    world = len(devices)
+    batch_size = args.batch_size or world
+    assert batch_size % world == 0
+    logger.info(f"devices={world} global_batch={batch_size}")
+
+    mesh = make_mesh(devices)
+    model = create_model(cfg)
+
+    # data source
+    if args.synthetic or args.data_root is None:
+        logger.info("training on synthetic pairs")
+
+        def pair_iter(epoch):
+            rng = np.random.default_rng(cfg.seed + epoch)
+            for _ in range(args.synthetic_pairs // batch_size):
+                seeds = rng.integers(0, 2**31, size=batch_size)
+                yield [random_pair(cfg, int(s)) for s in seeds]
+
+        steps_per_epoch = args.synthetic_pairs // batch_size
+    else:
+        from gaussreg_tpu.data.scannet import ScanNetGSRegDataset
+
+        dataset = ScanNetGSRegDataset(
+            args.data_root,
+            "train",
+            point_limit=cfg.train.point_limit,
+            use_augmentation=cfg.train.use_augmentation,
+            augmentation_noise=cfg.train.augmentation_noise,
+            augmentation_rotation=cfg.train.augmentation_rotation,
+            seed=cfg.seed + jax.process_index(),
+        )
+        steps_per_epoch = len(dataset) // batch_size
+        logger.info(f"ScanNet-GSReg train: {len(dataset)} pairs")
+
+        def pair_iter(epoch):
+            rng = np.random.default_rng(cfg.seed + epoch)
+            order = rng.permutation(len(dataset))
+            for i in range(steps_per_epoch):
+                items = [dataset[int(j)] for j in order[i * batch_size : (i + 1) * batch_size]]
+                yield [
+                    (d["ref_points"], d["ref_feats"], d["src_points"], d["src_feats"], d["transform"])
+                    for d in items
+                ]
+
+    tx = make_optimizer(cfg, steps_per_epoch, world_size=world)
+    rp, rf, sp, sf, m = random_pair(cfg, 0)
+    example = make_pair_batch(cfg, rp, rf, sp, sf, m)
+    state = create_train_state(cfg, model, example, jax.random.PRNGKey(cfg.seed), tx)
+
+    start_epoch = 0
+    snapshot = os.path.join(args.output_dir, "snapshot.msgpack")
+    if args.resume and os.path.exists(snapshot):
+        params, opt_state = load_checkpoint(snapshot, state.params, state.opt_state)
+        meta = load_metadata(args.output_dir, "snapshot")
+        start_epoch = int(meta.get("epoch", 0))
+        state = TrainState(
+            params, opt_state, np.int32(meta.get("step", 0)), np.int32(0)
+        )
+        logger.info(f"resumed from {snapshot} at epoch {start_epoch}")
+
+    train_step = make_train_step(model, cfg, tx, mesh=mesh)
+    eval_step = make_eval_step(model, cfg)
+    writer = ScalarWriter(os.path.join(args.output_dir, "events"))
+    key = jax.random.PRNGKey(cfg.seed + 1)
+
+    def build_batch(raw_pairs):
+        batches = [make_pair_batch(cfg, *p) for p in raw_pairs]
+        batch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        return shard_batch_pytree(batch, mesh)
+
+    step_count = int(state.step)
+    for epoch in range(start_epoch, max_epoch):
+        board = SummaryBoard(last_n=args.log_steps)
+        timer = Timer()
+        timer.tic("prepare")
+        for it, raw in enumerate(pair_iter(epoch)):
+            batch = build_batch(raw)
+            key, sub = jax.random.split(key)
+            keys = shard_batch_pytree(jax.random.split(sub, batch_size), mesh)
+            timer.toc("prepare")
+            timer.tic("process")
+            state, metrics = train_step(state, batch, keys)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            timer.toc("process")
+            board.update_from_dict(metrics)
+            step_count += 1
+            if (it + 1) % args.log_steps == 0:
+                logger.info(
+                    f"epoch {epoch} it {it + 1}/{steps_per_epoch}: "
+                    f"{format_metrics(board.smoothed_summary())}, "
+                    f"prep {timer.mean('prepare'):.3f}s proc {timer.mean('process'):.3f}s"
+                )
+                writer.write("train", board.smoothed_summary(), step_count)
+            timer.tic("prepare")
+
+        # validation (synthetic holdout or dataset val split)
+        val_board = SummaryBoard()
+        for i in range(min(args.val_pairs, 16)):
+            rp, rf, sp, sf, m = random_pair(cfg, 10_000_000 + i)
+            vb = make_pair_batch(cfg, rp, rf, sp, sf, m)
+            _, vm = eval_step(state.params, vb, jax.random.PRNGKey(i))
+            val_board.update_from_dict({k: float(v) for k, v in vm.items()})
+        logger.info(f"epoch {epoch} val: {format_metrics(val_board.summary())}")
+        writer.write("val", val_board.summary(), step_count)
+
+        save_checkpoint(
+            args.output_dir, f"epoch-{epoch}", state.params,
+            metadata={"epoch": epoch + 1, "step": step_count},
+        )
+        save_checkpoint(
+            args.output_dir, "snapshot", state.params, state.opt_state,
+            metadata={"epoch": epoch + 1, "step": step_count},
+        )
+        logger.info(f"epoch {epoch} checkpointed")
+
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()
