@@ -26,6 +26,9 @@ class TileBinning(NamedTuple):
 
     pair_gaussian: jnp.ndarray  # (P_aligned,) int32 gaussian index per pair
     pair_valid: jnp.ndarray  # (P_aligned,) bool
+    pair_positions: jnp.ndarray  # (G, mt) int32 position of each gaussian's
+    # pairs in the aligned array (== P_aligned for unused slots) — lets the
+    # pair-gather VJP be a gather+reduce instead of a scatter-add
     tile_offsets: jnp.ndarray  # (num_tiles + 1,) int32, align-multiples
     tile_counts: jnp.ndarray  # (num_tiles,) int32 true (unpadded) counts
     num_pairs: jnp.ndarray  # () int32 — true pair count
@@ -82,26 +85,33 @@ def bin_gaussians(
     tile_id = (ty0[:, None] + dy) * ntx + (tx0[:, None] + dx)  # (G, mt)
     tile_id = jnp.where(in_bbox, tile_id, num_tiles)  # invalid sort last
 
-    # sort pairs by (tile, depth): stable sort on tile of depth-sorted order
-    pair_tile = tile_id.reshape(-1)  # (G * mt,)
+    # sort pairs by (tile, depth) with ONE sort on a composite int32 key:
+    # tile * G + depth_rank(gaussian). Requires num_tiles * G < 2^31 (holds
+    # for any realistic scene/image; guarded at trace time).
+    assert (num_tiles + 1) * g < 2**31 - 1, (num_tiles, g)
+    depth_order = jnp.argsort(depths)  # (G,) one small sort
+    depth_rank = (
+        jnp.zeros(g, jnp.int32)
+        .at[depth_order]
+        .set(jnp.arange(g, dtype=jnp.int32))
+    )
     pair_gid = jnp.broadcast_to(
         jnp.arange(g, dtype=jnp.int32)[:, None], (g, mt)
     ).reshape(-1)
-    pair_depth = jnp.broadcast_to(depths[:, None], (g, mt)).reshape(-1)
+    pair_key = tile_id.reshape(-1) * g + depth_rank[pair_gid]
 
-    depth_order = jnp.argsort(pair_depth)
-    tile_sorted = pair_tile[depth_order]
-    order2 = jnp.argsort(tile_sorted, stable=True)
-    final_order = depth_order[order2]
-
-    sorted_tiles = pair_tile[final_order]
-    sorted_gid = pair_gid[final_order]
-    sorted_valid = sorted_tiles < num_tiles
+    orig_idx = jnp.arange(g * mt, dtype=jnp.int32)
+    sorted_keys, sorted_orig = jax.lax.sort((pair_key, orig_idx), num_keys=1)
+    sorted_gid = pair_gid[sorted_orig]
+    sorted_valid = sorted_keys < num_tiles * g
 
     raw_offsets = jnp.searchsorted(
-        sorted_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        sorted_keys,
+        jnp.arange(num_tiles + 1, dtype=jnp.int32) * g,
+        side="left",
     ).astype(jnp.int32)
     tile_counts = raw_offsets[1:] - raw_offsets[:-1]
+    sorted_tiles = jnp.minimum(sorted_keys // g, num_tiles)
 
     # re-layout so every tile's segment starts/ends on an `align` boundary
     padded_counts = ((tile_counts + align - 1) // align) * align
@@ -122,11 +132,20 @@ def bin_gaussians(
     pair_valid = (
         jnp.zeros(cap + 1, jnp.bool_).at[new_pos].set(sorted_valid)[:cap]
     )
+    # inverse map: original (gaussian, slot) -> aligned position (cap if
+    # unused); int32 scatter-set, 128x cheaper than a float row scatter-add
+    pair_positions = (
+        jnp.full(g * mt, cap, jnp.int32)
+        .at[sorted_orig]
+        .set(jnp.where(sorted_valid, new_pos, cap))
+        .reshape(g, mt)
+    )
 
     overflow = jnp.sum(jnp.maximum(count - mt, 0))
     return TileBinning(
         pair_gaussian=pair_gaussian,
         pair_valid=pair_valid,
+        pair_positions=pair_positions,
         tile_offsets=tile_offsets,
         tile_counts=tile_counts,
         num_pairs=jnp.sum(jnp.minimum(count, mt)).astype(jnp.int32),

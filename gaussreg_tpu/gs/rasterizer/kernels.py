@@ -42,7 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
-CHUNK = 128  # gaussians per chunk (= sublane rows of the working set)
+CHUNK = 64  # default gaussians per chunk (sublane rows of the working set);
+# the triangular-matmul blending cost scales linearly with this, so smaller
+# is cheaper until per-chunk overheads dominate
 NCHAN = 128  # one 128-lane row per pair
 
 
@@ -60,10 +62,10 @@ def _phi_and_masks(t, ntx, tile_h, tile_w):
     return phi
 
 
-def _tri_matrices():
-    """Strict and inclusive lower-triangular (CHUNK, CHUNK) f32 constants."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+def _tri_matrices(chunk):
+    """Strict and inclusive lower-triangular (chunk, chunk) f32 constants."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     strict = (r > c).astype(jnp.float32)
     incl = (r >= c).astype(jnp.float32)
     return strict, incl
@@ -88,25 +90,25 @@ def _chunk_alpha(coeffs, phi, rowmask):
     return alpha, graw, raw
 
 
-def _forward_kernel(ntx: int, tile_h: int, tile_w: int):
+def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
     npix = tile_h * tile_w
 
     def kernel(offsets_ref, counts_ref, pair_ref, out_ref, chunk, sem, rgb_acc, t_row):
         t = pl.program_id(0)
-        start = pl.multiple_of(offsets_ref[t], CHUNK)
+        start = pl.multiple_of(offsets_ref[t], chunk_n)
         n = counts_ref[t]
-        num_chunks = jax.lax.div(n + CHUNK - 1, CHUNK)
+        num_chunks = jax.lax.div(n + chunk_n - 1, chunk_n)
 
         phi = _phi_and_masks(t, ntx, tile_h, tile_w)
-        l_strict, _ = _tri_matrices()
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        l_strict, _ = _tri_matrices(chunk_n)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk_n, 1), 0)
 
         rgb_acc[...] = jnp.zeros((4, npix), jnp.float32)
         t_row[...] = jnp.ones((1, npix), jnp.float32)
 
         def get_dma(slot, k):
             return pltpu.make_async_copy(
-                pair_ref.at[pl.ds(pl.multiple_of(start + k * CHUNK, CHUNK), CHUNK), :],
+                pair_ref.at[pl.ds(pl.multiple_of(start + k * chunk_n, chunk_n), chunk_n), :],
                 chunk.at[slot],
                 sem.at[slot],
             )
@@ -124,7 +126,7 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int):
 
             get_dma(slot, k).wait()
             coeffs = chunk[slot]  # (K, 128)
-            rowmask = (row_ids < (n - k * CHUNK)).astype(jnp.float32)
+            rowmask = (row_ids < (n - k * chunk_n)).astype(jnp.float32)
             alpha, _, _ = _chunk_alpha(coeffs, phi, rowmask)
 
             lg = jnp.log1p(-alpha)
@@ -134,7 +136,7 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int):
             colors = coeffs[:, 7:10]  # (K, 3)
             rgb_acc[0:3] = rgb_acc[0:3] + _dot(colors, w, (((0,), (0,))))
             t_row[...] = t_row[...] * jnp.exp(
-                cum[CHUNK - 1 : CHUNK, :] + lg[CHUNK - 1 : CHUNK, :]
+                cum[chunk_n - 1 : chunk_n, :] + lg[chunk_n - 1 : chunk_n, :]
             )
             return 0
 
@@ -145,7 +147,7 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int):
     return kernel
 
 
-def _backward_kernel(ntx: int, tile_h: int, tile_w: int):
+def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
     npix = tile_h * tile_w
 
     def kernel(
@@ -155,13 +157,13 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int):
         # ct_ref block: (1, 6, NPIX) = [d_r, d_g, d_b, d_T, T_final, v]
         # with v = sum_ch d_ch * final_rgb_ch
         t = pl.program_id(0)
-        start = pl.multiple_of(offsets_ref[t], CHUNK)
+        start = pl.multiple_of(offsets_ref[t], chunk_n)
         n = counts_ref[t]
-        num_chunks = jax.lax.div(n + CHUNK - 1, CHUNK)
+        num_chunks = jax.lax.div(n + chunk_n - 1, chunk_n)
 
         phi = _phi_and_masks(t, ntx, tile_h, tile_w)
-        l_strict, l_incl = _tri_matrices()
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        l_strict, l_incl = _tri_matrices(chunk_n)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk_n, 1), 0)
 
         d_rgb = ct_ref[0, 0:3]  # (3, NPIX)
         d_t_final = ct_ref[0, 3:4]  # (1, NPIX)
@@ -173,7 +175,7 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int):
 
         def in_dma(slot, k):
             return pltpu.make_async_copy(
-                pair_ref.at[pl.ds(pl.multiple_of(start + k * CHUNK, CHUNK), CHUNK), :],
+                pair_ref.at[pl.ds(pl.multiple_of(start + k * chunk_n, chunk_n), chunk_n), :],
                 chunk.at[slot],
                 sem.at[slot],
             )
@@ -181,7 +183,7 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int):
         def out_dma(slot, k):
             return pltpu.make_async_copy(
                 gchunk.at[slot],
-                grad_out_ref.at[pl.ds(pl.multiple_of(start + k * CHUNK, CHUNK), CHUNK), :],
+                grad_out_ref.at[pl.ds(pl.multiple_of(start + k * chunk_n, chunk_n), chunk_n), :],
                 gsem.at[slot],
             )
 
@@ -203,7 +205,7 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int):
                 out_dma(slot, k - 2).wait()
 
             coeffs = chunk[slot]
-            rowmask = (row_ids < (n - k * CHUNK)).astype(jnp.float32)
+            rowmask = (row_ids < (n - k * chunk_n)).astype(jnp.float32)
             alpha, graw, raw = _chunk_alpha(coeffs, phi, rowmask)
             colors = coeffs[:, 7:10]  # (K, 3)
 
@@ -229,17 +231,17 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int):
             d_power = d_alpha * alpha
             d_coef = _dot(d_power, phi, (((1,), (1,))))  # (K, 8)
 
-            gchunk[slot] = jnp.zeros((CHUNK, NCHAN), jnp.float32)
+            gchunk[slot] = jnp.zeros((chunk_n, NCHAN), jnp.float32)
             gchunk[slot, :, 0:6] = d_coef[:, 0:6]
             gchunk[slot, :, 6:7] = d_op
             gchunk[slot, :, 7:10] = d_colors
 
             # carries
             t_row[...] = t_row[...] * jnp.exp(
-                cum[CHUNK - 1 : CHUNK, :] + lg[CHUNK - 1 : CHUNK, :]
+                cum[chunk_n - 1 : chunk_n, :] + lg[chunk_n - 1 : chunk_n, :]
             )
             vp_row[...] = vp_row[...] + _dot(
-                jnp.ones((1, CHUNK), jnp.float32), ew, (((1,), (0,)))
+                jnp.ones((1, chunk_n), jnp.float32), ew, (((1,), (0,)))
             )
 
             out_dma(slot, k).start()
@@ -272,10 +274,11 @@ def _image_to_tiles(planes, nty, ntx, tile_h, tile_w):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "tile_h", "tile_w")
+    jax.jit, static_argnames=("height", "width", "tile_h", "tile_w", "chunk_n")
 )
 def _rasterize_fwd_impl(
-    pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w
+    pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w,
+    chunk_n=CHUNK,
 ):
     ntx = width // tile_w
     nty = height // tile_h
@@ -289,14 +292,14 @@ def _rasterize_fwd_impl(
             (1, 4, npix), lambda t, offsets, counts: (t, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, NCHAN), jnp.float32),
+            pltpu.VMEM((2, chunk_n, NCHAN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((4, npix), jnp.float32),
             pltpu.VMEM((1, npix), jnp.float32),
         ],
     )
     out = pl.pallas_call(
-        _forward_kernel(ntx, tile_h, tile_w),
+        _forward_kernel(ntx, tile_h, tile_w, chunk_n),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, 4, npix), jnp.float32),
         interpret=jax.default_backend() != "tpu",
@@ -305,10 +308,11 @@ def _rasterize_fwd_impl(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "tile_h", "tile_w")
+    jax.jit, static_argnames=("height", "width", "tile_h", "tile_w", "chunk_n")
 )
 def _rasterize_bwd_impl(
-    pair_rows, tile_offsets, tile_counts, ct_planes, height, width, tile_h, tile_w
+    pair_rows, tile_offsets, tile_counts, ct_planes, height, width, tile_h,
+    tile_w, chunk_n=CHUNK,
 ):
     ntx = width // tile_w
     nty = height // tile_h
@@ -324,8 +328,8 @@ def _rasterize_bwd_impl(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, NCHAN), jnp.float32),
-            pltpu.VMEM((2, CHUNK, NCHAN), jnp.float32),
+            pltpu.VMEM((2, chunk_n, NCHAN), jnp.float32),
+            pltpu.VMEM((2, chunk_n, NCHAN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, npix), jnp.float32),
@@ -333,7 +337,7 @@ def _rasterize_bwd_impl(
         ],
     )
     grads = pl.pallas_call(
-        _backward_kernel(ntx, tile_h, tile_w),
+        _backward_kernel(ntx, tile_h, tile_w, chunk_n),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(pair_rows.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -342,7 +346,7 @@ def _rasterize_bwd_impl(
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def rasterize_pairs(
     pair_rows,
     tile_offsets,
@@ -351,6 +355,7 @@ def rasterize_pairs(
     width: int,
     tile_h: int = 16,
     tile_w: int = 128,
+    chunk_n: int = CHUNK,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite aligned (gaussian, tile) pair data into an image.
 
@@ -364,21 +369,23 @@ def rasterize_pairs(
         rgb (H, W, 3), transmittance (H, W).
     """
     out = _rasterize_fwd_impl(
-        pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w
+        pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w,
+        chunk_n,
     )
     return jnp.moveaxis(out[:3], 0, -1), out[3]
 
 
-def _fwd(pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w):
+def _fwd(pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w, chunk_n):
     out = _rasterize_fwd_impl(
-        pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w
+        pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w,
+        chunk_n,
     )
     rgb = jnp.moveaxis(out[:3], 0, -1)
     t = out[3]
     return (rgb, t), (pair_rows, tile_offsets, tile_counts, rgb, t)
 
 
-def _bwd(height, width, tile_h, tile_w, residuals, cts):
+def _bwd(height, width, tile_h, tile_w, chunk_n, residuals, cts):
     pair_rows, tile_offsets, tile_counts, rgb_final, t_final = residuals
     d_rgb, d_t = cts
     d_planes = jnp.moveaxis(d_rgb, -1, 0)  # (3, H, W)
@@ -388,7 +395,7 @@ def _bwd(height, width, tile_h, tile_w, residuals, cts):
     )
     grads = _rasterize_bwd_impl(
         pair_rows, tile_offsets, tile_counts, ct_planes, height, width,
-        tile_h, tile_w,
+        tile_h, tile_w, chunk_n,
     )
     covered = (
         jnp.arange(pair_rows.shape[0], dtype=jnp.int32) < tile_offsets[-1]

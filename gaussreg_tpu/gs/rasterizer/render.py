@@ -20,6 +20,33 @@ from gaussreg_tpu.gs.rasterizer.camera import Camera
 from gaussreg_tpu.gs.rasterizer.project import project_gaussians
 
 
+@jax.custom_vjp
+def _gather_pairs(gdata, pids, pair_positions):
+    """pair_rows = gdata[pids] with a gather+reduce VJP: per-pair cotangents
+    are gathered back through `pair_positions` (G, mt) and summed over the
+    slot axis — avoiding XLA's slow large scatter-add on TPU."""
+    return gdata[pids]
+
+
+def _gather_pairs_fwd(gdata, pids, pair_positions):
+    return gdata[pids], (gdata.shape, pair_positions)
+
+
+def _gather_pairs_bwd(res, ct):
+    (gshape, pair_positions) = res
+    cap = ct.shape[0]
+    ct_padded = jnp.concatenate([ct, jnp.zeros((1, ct.shape[1]), ct.dtype)])
+    per_gaussian = ct_padded[jnp.minimum(pair_positions, cap)]  # (G, mt, C)
+    d_gdata = jnp.zeros(gshape, ct.dtype)
+    d_gdata = d_gdata.at[: pair_positions.shape[0]].set(
+        jnp.sum(per_gaussian, axis=1)
+    )
+    return d_gdata, None, None
+
+
+_gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
+
+
 class RenderOutput(NamedTuple):
     rgb: jnp.ndarray  # (H, W, 3)
     transmittance: jnp.ndarray  # (H, W)
@@ -105,10 +132,10 @@ def _render_impl(
         axis=1,
     )  # (G, 10)
     gdata = jnp.pad(gdata, ((0, 1), (0, kernels.NCHAN - gdata.shape[1])))
-    # padding slots gather the all-zero row G (alpha 0 -> no-op); the VJP of
-    # this take is the per-gaussian gradient scatter-add
+    # padding slots gather the all-zero row G (alpha 0 -> no-op); the VJP
+    # routes per-pair gradients back via the (G, mt) position table
     pids = jnp.where(binning.pair_valid, binning.pair_gaussian, g)
-    pair_rows = gdata[pids]  # (P_aligned, 16)
+    pair_rows = _gather_pairs(gdata, pids, binning.pair_positions)
 
     rgb, t = kernels.rasterize_pairs(
         pair_rows, binning.tile_offsets, binning.tile_counts, hp, wp, tile_h, tile_w
