@@ -42,6 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
+T_EPS = 1e-4  # chunk-level early termination: once every pixel of the tile
+# has transmittance below this, remaining chunks are skipped — in BOTH
+# passes (the backward also walks forward, recomputing the identical
+# T sequence), so fwd/bwd stay exactly consistent
 CHUNK = 64  # default gaussians per chunk (sublane rows of the working set);
 # the triangular-matmul blending cost scales linearly with this, so smaller
 # is cheaper until per-chunk overheads dominate
@@ -135,12 +139,28 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
             w = alpha * tj
             colors = coeffs[:, 7:10]  # (K, 3)
             rgb_acc[0:3] = rgb_acc[0:3] + _dot(colors, w, (((0,), (0,))))
-            t_row[...] = t_row[...] * jnp.exp(
+            new_t = t_row[...] * jnp.exp(
                 cum[chunk_n - 1 : chunk_n, :] + lg[chunk_n - 1 : chunk_n, :]
             )
-            return 0
+            t_row[...] = new_t
+            return jnp.max(new_t)
 
-        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+        def cond(carry):
+            k, tmax = carry
+            return (k < num_chunks) & (tmax >= T_EPS)
+
+        def body(carry):
+            k, _ = carry
+            tmax = chunk_body(k, None)
+            return k + 1, tmax
+
+        k_end, _ = jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
+
+        # drain the prefetch issued for the chunk after an early exit
+        @pl.when(k_end < num_chunks)
+        def _():
+            get_dma(jax.lax.rem(k_end, 2), k_end).wait()
+
         rgb_acc[3:4] = t_row[...]
         out_ref[0] = rgb_acc[...]
 
@@ -237,25 +257,55 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
             gchunk[slot, :, 7:10] = d_colors
 
             # carries
-            t_row[...] = t_row[...] * jnp.exp(
+            new_t = t_row[...] * jnp.exp(
                 cum[chunk_n - 1 : chunk_n, :] + lg[chunk_n - 1 : chunk_n, :]
             )
+            t_row[...] = new_t
             vp_row[...] = vp_row[...] + _dot(
                 jnp.ones((1, chunk_n), jnp.float32), ew, (((1,), (0,)))
             )
 
             out_dma(slot, k).start()
-            return 0
+            return jnp.max(new_t)
 
-        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+        def cond(carry):
+            k, tmax = carry
+            return (k < num_chunks) & (tmax >= T_EPS)
 
-        @pl.when(num_chunks >= 1)
+        def body(carry):
+            k, _ = carry
+            tmax = chunk_body(k, None)
+            return k + 1, tmax
+
+        k_end, _ = jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
+
+        # drain the outstanding input prefetch after an early exit
+        @pl.when(k_end < num_chunks)
         def _():
-            out_dma(jax.lax.rem(num_chunks - 1, 2), num_chunks - 1).wait()
+            in_dma(jax.lax.rem(k_end, 2), k_end).wait()
 
-        @pl.when(num_chunks >= 2)
+        # drain outstanding gradient writes
+        @pl.when(k_end >= 1)
         def _():
-            out_dma(jax.lax.rem(num_chunks - 2, 2), num_chunks - 2).wait()
+            out_dma(jax.lax.rem(k_end - 1, 2), k_end - 1).wait()
+
+        @pl.when(k_end >= 2)
+        def _():
+            out_dma(jax.lax.rem(k_end - 2, 2), k_end - 2).wait()
+
+        # early-terminated chunks still own gradient rows: zero-fill them
+        # (pure DMA, no compute)
+        @pl.when(k_end < num_chunks)
+        def _():
+            gchunk[0] = jnp.zeros((chunk_n, NCHAN), jnp.float32)
+
+            def zbody(k, _):
+                dma = out_dma(0, k)
+                dma.start()
+                dma.wait()
+                return 0
+
+            jax.lax.fori_loop(k_end, num_chunks, zbody, 0)
 
     return kernel
 

@@ -158,7 +158,7 @@ def render(
     camera: Camera,
     valid=None,
     tile_h: int = 16,
-    tile_w: int = 128,
+    tile_w: int = 32,
     max_tiles_per_gaussian: int = 16,
     sh_degree: int = 3,
     use_pallas: bool | None = None,
