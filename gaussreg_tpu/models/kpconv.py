@@ -187,6 +187,26 @@ def nearest_upsample(s_feats, upsample_indices):
     return batched_gather(s_feats, upsample_indices[:, :, :1], fill=0.0)[:, :, 0]
 
 
+def knn_interpolate(s_feats, q_points, s_points, neighbor_indices, k: int, eps=1e-8):
+    """Inverse-squared-distance weighted interpolation over the first k
+    neighbors (reference functional.py:25-51)."""
+    idx = neighbor_indices[:, :, :k]
+    knn_points = batched_gather(s_points, idx, fill=0.0)  # (B, N, k, 3)
+    knn_feats = batched_gather(s_feats, idx, fill=0.0)  # (B, N, k, C)
+    sq = jnp.sum((q_points[:, :, None, :] - knn_points) ** 2, axis=-1)
+    masks = (idx != s_points.shape[1]).astype(s_feats.dtype)
+    weights = masks / (sq + eps)
+    weights = weights / (jnp.sum(weights, axis=-1, keepdims=True) + eps)
+    return jnp.sum(knn_feats * weights[..., None], axis=2)
+
+
+def global_avgpool(feats, mask):
+    """Masked mean over each cloud (reference functional.py:70-90; the
+    lengths loop becomes a masked mean over the batch axis)."""
+    m = mask[..., None].astype(feats.dtype)
+    return jnp.sum(feats * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+
+
 class ResidualBlock(nn.Module):
     """Bottleneck residual KPConv block (reference modules.py:149-225).
 

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gaussreg_tpu.ops.pairwise import pairwise_sq_dist
+from gaussreg_tpu.ops.pairwise import masked_pairwise_sq_dist, pairwise_sq_dist
 from gaussreg_tpu.ops.procrustes import weighted_procrustes
 from gaussreg_tpu.ops.transforms import apply_transform
 
@@ -164,6 +164,112 @@ def sample_gt_node_correspondences(
     src_idx = (flat_idx % ms).astype(jnp.int32)
     sel_overlaps = overlaps.reshape(-1)[flat_idx]
     return ref_idx, src_idx, sel_overlaps, valid
+
+
+def point_matching_topk(
+    ref_knn_points,
+    src_knn_points,
+    ref_knn_masks,
+    src_knn_masks,
+    matching_scores,
+    k: int = 3,
+    mutual: bool = True,
+    confidence_threshold: float = 0.05,
+    max_correspondences: int = 2048,
+):
+    """Pose-free top-k (mutual) point matching inside patch pairs
+    (reference geotransformer/modules/geotransformer/point_matching.py:5-115):
+    same selection as LGR's correspondence extraction, returning the padded
+    correspondence set without estimating a transform.
+
+    Returns (ref_points (C, 3), src_points (C, 3), scores (C,), valid (C,)).
+    """
+    scores = jnp.exp(matching_scores)
+    mask_mat = ref_knn_masks[:, :, None] & src_knn_masks[:, None, :]
+    ref_topk, _ = jax.lax.top_k(scores, k)
+    ref_sel = scores >= ref_topk[..., k - 1 : k]
+    src_topk, _ = jax.lax.top_k(scores.swapaxes(1, 2), k)
+    src_sel = scores >= src_topk[..., k - 1 : k].swapaxes(1, 2)
+    sel = (ref_sel & src_sel) if mutual else (ref_sel | src_sel)
+    corr = sel & (scores > confidence_threshold) & mask_mat
+    masked = jnp.where(corr, scores, 0.0)
+    p, kk, _ = masked.shape
+    top_scores, top_idx = jax.lax.top_k(masked.reshape(-1), max_correspondences)
+    valid = top_scores > 0.0
+    pi = top_idx // (kk * kk)
+    ri = (top_idx // kk) % kk
+    si = top_idx % kk
+    return (
+        ref_knn_points[pi, ri],
+        src_knn_points[pi, si],
+        jnp.where(valid, top_scores, 0.0),
+        valid,
+    )
+
+
+def dense_to_node_correspondences(
+    ref_points,
+    src_points,
+    ref_nodes,
+    src_nodes,
+    corr_ref_idx,
+    corr_src_idx,
+    corr_valid,
+    point_masks,
+):
+    """Aggregate dense point correspondences into a node-pair count matrix
+    with overlap-proxy scores (reference matching.py:176-227 — the dynamic
+    unique() becomes a dense (M, M) count matrix).
+
+    Returns (counts (Mr, Ms), scores (Mr, Ms))."""
+    ref_point_mask, src_point_mask = point_masks
+    mr = ref_nodes.shape[0]
+    ms = src_nodes.shape[0]
+    ref_p2n = jnp.argmin(
+        masked_pairwise_sq_dist(ref_points, ref_nodes, ref_point_mask, None), axis=1
+    )
+    src_p2n = jnp.argmin(
+        masked_pairwise_sq_dist(src_points, src_nodes, src_point_mask, None), axis=1
+    )
+    ref_sizes = jnp.maximum(
+        jax.nn.one_hot(ref_p2n, mr, dtype=jnp.float32).T @ ref_point_mask.astype(jnp.float32),
+        1.0,
+    )
+    src_sizes = jnp.maximum(
+        jax.nn.one_hot(src_p2n, ms, dtype=jnp.float32).T @ src_point_mask.astype(jnp.float32),
+        1.0,
+    )
+    pair_ids = ref_p2n[corr_ref_idx] * ms + src_p2n[corr_src_idx]
+    counts = (
+        jnp.zeros(mr * ms, jnp.float32)
+        .at[pair_ids]
+        .add(corr_valid.astype(jnp.float32))
+        .reshape(mr, ms)
+    )
+    scores = 0.5 * (counts / ref_sizes[:, None] + counts / src_sizes[None, :])
+    return counts, scores
+
+
+def patch_overlap_ratios(
+    ref_knn_points, src_knn_points, ref_knn_masks, src_knn_masks, transform, radius
+):
+    """Per-patch-pair overlap ratios for batched (P, K, 3) patch pairs
+    (reference matching.py:360-430 overlap/occlusion ratio helpers).
+
+    Returns (ref_overlap (P,), src_overlap (P,))."""
+    src_t = apply_transform(src_knn_points, transform)
+    d2 = pairwise_sq_dist(ref_knn_points, src_t)
+    mask = ref_knn_masks[:, :, None] & src_knn_masks[:, None, :]
+    close = (d2 < radius * radius) & mask
+    ref_matched = jnp.any(close, axis=2)
+    src_matched = jnp.any(close, axis=1)
+    ref_ratio = jnp.sum(ref_matched, axis=1) / jnp.maximum(
+        jnp.sum(ref_knn_masks, axis=1), 1
+    )
+    src_ratio = jnp.sum(src_matched, axis=1) / jnp.maximum(
+        jnp.sum(src_knn_masks, axis=1), 1
+    )
+    return ref_ratio, src_ratio
 
 
 class LGRResult(NamedTuple):

@@ -51,6 +51,88 @@ def isotropic_transform_error(gt_transform, transform):
     )
 
 
+def modified_chamfer_distance(
+    raw_points,
+    ref_points,
+    src_points,
+    gt_transform,
+    transform,
+    raw_mask=None,
+    ref_mask=None,
+    src_mask=None,
+):
+    """Modified chamfer distance (reference metrics.py:8-44): aligned-src ->
+    raw plus gt-aligned-raw -> src, masked means."""
+    from gaussreg_tpu.ops.pairwise import masked_pairwise_sq_dist
+
+    n_raw = raw_points.shape[0]
+    if raw_mask is None:
+        raw_mask = jnp.ones(n_raw, bool)
+    if src_mask is None:
+        src_mask = jnp.ones(src_points.shape[0], bool)
+
+    aligned_src = apply_transform(src_points, transform)
+    d1 = masked_pairwise_sq_dist(aligned_src, raw_points, src_mask, raw_mask)
+    m1 = jnp.min(d1, axis=1)
+    chamfer_src = jnp.sum(jnp.where(src_mask, m1, 0.0)) / jnp.maximum(
+        jnp.sum(src_mask), 1
+    )
+
+    aligned_raw = apply_transform(raw_points, jnp.linalg.inv(gt_transform))
+    d2 = masked_pairwise_sq_dist(aligned_raw, src_points, raw_mask, src_mask)
+    m2 = jnp.min(d2, axis=1)
+    chamfer_raw = jnp.sum(jnp.where(raw_mask, m2, 0.0)) / jnp.maximum(
+        jnp.sum(raw_mask), 1
+    )
+    return chamfer_src + chamfer_raw
+
+
+def anisotropic_transform_error(gt_transform, transform):
+    """Per-axis rotation (euler, degrees) and translation errors
+    (reference metrics.py:157-205).
+
+    Returns (r_mse, r_mae, t_mse, t_mae)."""
+    gt_r, gt_t, _ = rotation_translation_scale_from_transform(gt_transform)
+    r, t, _ = rotation_translation_scale_from_transform(transform)
+
+    def euler_xyz(m):
+        # ZYX-free simple xyz euler extraction
+        sy = jnp.sqrt(m[..., 0, 0] ** 2 + m[..., 1, 0] ** 2)
+        x = jnp.arctan2(m[..., 2, 1], m[..., 2, 2])
+        y = jnp.arctan2(-m[..., 2, 0], sy)
+        z = jnp.arctan2(m[..., 1, 0], m[..., 0, 0])
+        return jnp.stack([x, y, z], axis=-1) * 180.0 / jnp.pi
+
+    r_err = euler_xyz(gt_r) - euler_xyz(r)
+    t_err = gt_t - t
+    return (
+        jnp.mean(r_err**2, axis=-1),
+        jnp.mean(jnp.abs(r_err), axis=-1),
+        jnp.mean(t_err**2, axis=-1),
+        jnp.mean(jnp.abs(t_err), axis=-1),
+    )
+
+
+def inlier_ratio(ref_corr_points, src_corr_points, corr_valid, transform, radius):
+    """Fraction of correspondences within `radius` after alignment
+    (reference utils/registration.py:164-186)."""
+    aligned = apply_transform(src_corr_points, transform)
+    d = jnp.linalg.norm(ref_corr_points - aligned, axis=-1)
+    ok = (d < radius) & corr_valid
+    return jnp.sum(ok) / jnp.maximum(jnp.sum(corr_valid), 1)
+
+
+def overlap_ratio(ref_points, src_points, ref_mask, src_mask, transform, radius):
+    """Fraction of src points with a ref neighbor within `radius` after
+    alignment (reference utils/registration.py:164-186)."""
+    from gaussreg_tpu.ops.pairwise import masked_pairwise_sq_dist
+
+    aligned = apply_transform(src_points, transform)
+    d2 = masked_pairwise_sq_dist(aligned, ref_points, src_mask, ref_mask)
+    close = jnp.min(d2, axis=1) < radius * radius
+    return jnp.sum(close & src_mask) / jnp.maximum(jnp.sum(src_mask), 1)
+
+
 def registration_rmse(src_points, src_mask, gt_transform, est_transform):
     """Mean realignment residual of src points
     (reference loss.py:146-148)."""

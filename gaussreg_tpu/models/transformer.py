@@ -129,6 +129,146 @@ class RPETransformerLayer(nn.Module):
         return AttentionOutput(self.d_model)(x)
 
 
+class LearnablePositionalEmbedding(nn.Module):
+    """Embedding bank with index clamping + LayerNorm
+    (reference positional_embedding.py:37-65)."""
+
+    num_embeddings: int
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, indices):
+        idx = jnp.minimum(indices, self.num_embeddings - 1)
+        emb = nn.Embed(self.num_embeddings, self.embedding_dim)(idx)
+        return nn.LayerNorm()(emb)
+
+
+class PEMultiHeadAttention(nn.Module):
+    """Additive positional-embedding attention: q/k are augmented with
+    projected per-token position embeddings
+    (reference pe_transformer.py:15-72)."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, embed_q, embed_k, key_valid=None):
+        h = self.num_heads
+        dh = self.d_model // h
+        q = nn.Dense(self.d_model, name="proj_q")(q_in) + nn.Dense(
+            self.d_model, name="proj_p_q"
+        )(embed_q)
+        k = nn.Dense(self.d_model, name="proj_k")(k_in) + nn.Dense(
+            self.d_model, name="proj_p_k"
+        )(embed_k)
+        v = nn.Dense(self.d_model, name="proj_v")(v_in)
+        q = q.reshape(q.shape[:-1] + (h, dh))
+        k = k.reshape(k.shape[:-1] + (h, dh))
+        v = v.reshape(v.shape[:-1] + (h, dh))
+        scores = jnp.einsum("...nhc,...mhc->...hnm", q, k) / np.sqrt(dh)
+        if key_valid is not None:
+            scores = jnp.where(key_valid[..., None, None, :], scores, -jnp.inf)
+        attn = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("...hnm,...mhc->...nhc", attn, v)
+        return out.reshape(out.shape[:-2] + (self.d_model,))
+
+
+class LRPEMultiHeadAttention(nn.Module):
+    """Learnable relative positional embedding attention: pairwise integer
+    relation indices select embeddings from a bank which bias the logits
+    (reference lrpe_transformer.py:19-87)."""
+
+    d_model: int
+    num_heads: int
+    num_embeddings: int
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, relation_indices, key_valid=None):
+        h = self.num_heads
+        dh = self.d_model // h
+        q = nn.Dense(self.d_model, name="proj_q")(q_in)
+        k = nn.Dense(self.d_model, name="proj_k")(k_in)
+        v = nn.Dense(self.d_model, name="proj_v")(v_in)
+        p = LearnablePositionalEmbedding(self.num_embeddings, self.d_model)(
+            relation_indices
+        )  # (..., N, M, d)
+        q = q.reshape(q.shape[:-1] + (h, dh))
+        k = k.reshape(k.shape[:-1] + (h, dh))
+        v = v.reshape(v.shape[:-1] + (h, dh))
+        p = p.reshape(p.shape[:-1] + (h, dh))
+        scores = (
+            jnp.einsum("...nhc,...mhc->...hnm", q, k)
+            + jnp.einsum("...nhc,...nmhc->...hnm", q, p)
+        ) / np.sqrt(dh)
+        if key_valid is not None:
+            scores = jnp.where(key_valid[..., None, None, :], scores, -jnp.inf)
+        attn = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("...hnm,...mhc->...nhc", attn, v)
+        return out.reshape(out.shape[:-2] + (self.d_model,))
+
+
+class TransformerEncoder(nn.Module):
+    """Self-attention stack (reference vanilla_transformer.py:146-177)."""
+
+    d_model: int
+    num_heads: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, feats, valid=None):
+        for i in range(self.num_layers):
+            feats = TransformerLayer(
+                self.d_model, self.num_heads, name=f"layer_{i}"
+            )(feats, feats, valid)
+        return feats
+
+
+class TransformerDecoder(nn.Module):
+    """Self + cross attention stack
+    (reference vanilla_transformer.py:132-143, 180-201)."""
+
+    d_model: int
+    num_heads: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, q_feats, s_feats, q_valid=None, s_valid=None):
+        for i in range(self.num_layers):
+            q_feats = TransformerLayer(
+                self.d_model, self.num_heads, name=f"self_{i}"
+            )(q_feats, q_feats, q_valid)
+            q_feats = TransformerLayer(
+                self.d_model, self.num_heads, name=f"cross_{i}"
+            )(q_feats, s_feats, s_valid)
+        return q_feats
+
+
+class VanillaConditionalTransformer(nn.Module):
+    """Alternating self/cross blocks without positional embeddings
+    (reference conditional_transformer.py:14-70)."""
+
+    blocks: tuple
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, feats0, feats1, valid0=None, valid1=None):
+        for i, block in enumerate(self.blocks):
+            if block == "self":
+                layer = TransformerLayer(
+                    self.d_model, self.num_heads, name=f"layer_{i}_self"
+                )
+                feats0 = layer(feats0, feats0, valid0)
+                feats1 = layer(feats1, feats1, valid1)
+            else:
+                layer = TransformerLayer(
+                    self.d_model, self.num_heads, name=f"layer_{i}_cross"
+                )
+                feats0 = layer(feats0, feats1, valid1)
+                feats1 = layer(feats1, feats0, valid0)
+        return feats0, feats1
+
+
 class RPEConditionalTransformer(nn.Module):
     """Alternating self (RPE) / cross (vanilla) blocks over the (ref, src)
     feature streams (reference conditional_transformer.py:73-117)."""

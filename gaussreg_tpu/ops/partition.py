@@ -61,3 +61,40 @@ def point_to_node_partition(
     node_knn_indices = jnp.where(node_knn_masks, node_knn_indices, n).astype(jnp.int32)
 
     return point_to_node, node_masks, node_knn_indices, node_knn_masks, node_sizes
+
+
+def get_point_to_node_indices(points, nodes, point_mask, node_mask):
+    """Nearest-node index per point + per-node counts
+    (reference pointcloud_partition.py:9-31)."""
+    sq = masked_pairwise_sq_dist(nodes, points, node_mask, point_mask)
+    indices = jnp.argmin(sq, axis=0).astype(jnp.int32)
+    counts = jnp.sum(
+        jax.nn.one_hot(indices, nodes.shape[0], dtype=jnp.int32, axis=0)
+        * point_mask[None, :],
+        axis=1,
+    )
+    return indices, counts
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_partition(points, nodes, point_mask, node_mask, k: int):
+    """k nearest points per node (reference pointcloud_partition.py:34-57).
+    Returns (sq_distances (M, k), indices (M, k) sentinel == N)."""
+    n = points.shape[0]
+    sq = masked_pairwise_sq_dist(nodes, points, node_mask, point_mask)
+    neg, idx = jax.lax.top_k(-sq, k)
+    ok = (-neg) < _BIG / 2
+    return jnp.where(ok, -neg, _BIG), jnp.where(ok, idx, n).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("point_limit",))
+def ball_query_partition(
+    points, nodes, point_mask, node_mask, radius, point_limit: int
+):
+    """knn capped by a radius (reference pointcloud_partition.py:162-179).
+    Returns (indices (M, K) sentinel == N, masks (M, K), sizes (M,))."""
+    n = points.shape[0]
+    sq, idx = knn_partition(points, nodes, point_mask, node_mask, point_limit)
+    masks = sq < radius * radius
+    idx = jnp.where(masks, idx, n)
+    return idx, masks, jnp.sum(masks, axis=1).astype(jnp.int32)
