@@ -41,7 +41,7 @@ class CapacityConfig:
     for the 5-level grid pyramid; `neighbor_limits` are the per-level neighbor
     caps (reference test.py:129 uses [89, 30, 43, 49, 49])."""
 
-    levels: Tuple[int, ...] = (30720, 16384, 6144, 2048, 512)
+    levels: Tuple[int, ...] = (30720, 24576, 12288, 2560, 640)
     neighbor_limits: Tuple[int, ...] = (89, 30, 43, 49, 49)
     # max dense correspondences kept in LGR verification set
     max_correspondences: int = 2048

@@ -73,6 +73,18 @@ def create_train_state(
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
 
 
+def _coarse_precision(cfg: Config, out) -> jnp.ndarray:
+    """Fraction of proposed node correspondences that are GT-overlapping
+    (reference loss.py:102-120 evaluate_coarse)."""
+    overlaps = out["gt_node_overlaps"]
+    gt_map = overlaps > cfg.eval.acceptance_overlap
+    ref_idx = out["ref_node_corr_indices"]
+    src_idx = out["src_node_corr_indices"]
+    valid = out["node_corr_valid"]
+    hits = gt_map[ref_idx, src_idx] & valid
+    return jnp.sum(hits) / jnp.maximum(jnp.sum(valid), 1)
+
+
 def _loss_for_pair(model: GaussRegModel, cfg: Config, params, batch: PairBatch, key):
     out = model.apply(
         params,
@@ -82,6 +94,8 @@ def _loss_for_pair(model: GaussRegModel, cfg: Config, params, batch: PairBatch, 
         rngs={"sample": key},
     )
     losses = overall_loss(cfg, out, batch.transform)
+    losses = dict(losses)
+    losses["PIR"] = _coarse_precision(cfg, out)
     return losses["loss"], losses
 
 
@@ -128,6 +142,7 @@ def make_train_step(model: GaussRegModel, cfg: Config, tx, mesh=None):
             "loss": loss,
             "c_loss": jnp.mean(aux["c_loss"]),
             "f_loss": jnp.mean(aux["f_loss"]),
+            "PIR": jnp.mean(aux["PIR"]),
             "grad_finite": finite.astype(jnp.float32),
         }
         return new_state, metrics

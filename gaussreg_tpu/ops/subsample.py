@@ -51,7 +51,11 @@ def grid_subsample(
         jnp.floor((points - pmin) / voxel_size).astype(jnp.int32), 0, _CMAX
     )
     key = (coords[:, 0] << (2 * _BITS)) | (coords[:, 1] << _BITS) | coords[:, 2]
-    key = jnp.where(mask, key, jnp.int32(1 << 30))  # invalid points sort last
+    # bijective 32-bit scramble (odd multiplier): voxels sort in pseudorandom
+    # order, so capacity overflow drops voxels uniformly in space instead of
+    # truncating one side of the scene
+    key = (key.astype(jnp.uint32) * jnp.uint32(2654435761)).astype(jnp.uint32)
+    key = jnp.where(mask, key, jnp.uint32(0xFFFFFFFF))  # invalid sort last
 
     order = jnp.argsort(key)
     skey = key[order]
