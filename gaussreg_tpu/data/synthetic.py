@@ -26,18 +26,62 @@ def random_pair(
     """Returns (ref_points, ref_feats, src_points, src_feats, transform)."""
     rng = np.random.default_rng(seed)
     n = num_points or min(cfg.train.point_limit, cfg.capacity.levels[0])
-    # clustered points resembling an indoor surface distribution
-    num_clusters = 40
-    centers = rng.uniform(0, 3.0, size=(num_clusters, 3))
-    assign = rng.integers(0, num_clusters, size=n)
-    pts = centers[assign] + rng.normal(scale=0.25, size=(n, 3))
+    # structured indoor-like scene: floor + walls + boxes + spheres, with
+    # per-surface colors — gives KPConv distinctive local geometry to learn
+    # (pure gaussian blobs are self-similar and unlearnable)
+    surfaces = []
+    ext = rng.uniform(2.5, 3.5, size=2)
+    h = rng.uniform(1.8, 2.6)
+
+    def surf(pts, color):
+        c = np.broadcast_to(np.asarray(color, np.float32), (pts.shape[0], 3))
+        surfaces.append((pts.astype(np.float32), c))
+
+    def plane(origin, u, v, count, color):
+        a = rng.uniform(size=(count, 1))
+        b = rng.uniform(size=(count, 1))
+        surf(origin + a * u + b * v, color)
+
+    n_floor = int(n * 0.3)
+    plane(np.zeros(3), [ext[0], 0, 0], [0, 0, ext[1]], n_floor,
+          rng.uniform(50, 200, 3))
+    plane(np.zeros(3), [ext[0], 0, 0], [0, h, 0], int(n * 0.15),
+          rng.uniform(50, 200, 3))
+    plane(np.zeros(3), [0, 0, ext[1]], [0, h, 0], int(n * 0.15),
+          rng.uniform(50, 200, 3))
+    # furniture: boxes and spheres
+    remaining = n - sum(s[0].shape[0] for s in surfaces)
+    num_objects = rng.integers(4, 9)
+    for i in range(num_objects):
+        cnt = remaining // num_objects if i < num_objects - 1 else (
+            remaining - (remaining // num_objects) * (num_objects - 1)
+        )
+        center = np.array(
+            [rng.uniform(0.3, ext[0] - 0.3), rng.uniform(0.1, h * 0.5),
+             rng.uniform(0.3, ext[1] - 0.3)]
+        )
+        color = rng.uniform(30, 230, 3)
+        if rng.uniform() < 0.5:  # sphere shell
+            r = rng.uniform(0.1, 0.4)
+            d = rng.normal(size=(cnt, 3))
+            d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-9
+            surf(center + r * d, color)
+        else:  # box surface
+            size = rng.uniform(0.15, 0.6, 3)
+            face = rng.integers(0, 3, size=cnt)
+            sign = rng.choice([-1.0, 1.0], size=cnt)
+            p = rng.uniform(-0.5, 0.5, size=(cnt, 3)) * size
+            p[np.arange(cnt), face] = 0.5 * sign * size[face]
+            surf(center + p, color)
+
+    pts = np.concatenate([s[0] for s in surfaces])[:n]
+    colors = np.concatenate([s[1] for s in surfaces])[:n]
+    colors = np.clip(colors + rng.normal(scale=10, size=colors.shape), 0, 255)
     feats = np.concatenate(
-        [
-            rng.uniform(0.7, 1.0, size=(n, 1)),  # opacity
-            rng.uniform(0, 255, size=(n, 3)),  # RGB
-        ],
+        [rng.uniform(0.7, 1.0, size=(n, 1)).astype(np.float32),
+         colors.astype(np.float32)],
         axis=1,
-    ).astype(np.float32)
+    )
 
     # ref = subset of scene; src = (possibly different) subset, transformed
     n_keep = int(n * overlap)

@@ -22,11 +22,12 @@ accumulation onto gaussians is the VJP of the pair gather outside (an XLA
 scatter-add), and the chain from the quadratic coefficients back to
 means2d/conics is ordinary autodiff outside the kernel.
 
-Pair channel layout (P_aligned, 128), first 10 lanes used:
+Pair channel layout (P_aligned, 128), first 11 lanes used:
   0..5: quadratic coeffs [a0, ax, ay, axx, axy, ayy]
-  6: opacity  7: r  8: g  9: b
+  6: opacity  7: r  8: g  9: b  10: depth
 (the coeff matmul consumes lanes 0..7; phi rows 6, 7 are zero so lanes 6, 7
-contribute nothing there.)
+contribute nothing there. Depth is composited exactly like a color channel,
+yielding alpha-weighted expected depth.)
 """
 
 from __future__ import annotations
@@ -98,6 +99,7 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
     npix = tile_h * tile_w
 
     def kernel(offsets_ref, counts_ref, pair_ref, out_ref, chunk, sem, rgb_acc, t_row):
+        # rgb_acc rows: 0..3 = r, g, b, depth accumulators; row 4 = final T
         t = pl.program_id(0)
         start = pl.multiple_of(offsets_ref[t], chunk_n)
         n = counts_ref[t]
@@ -107,7 +109,7 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
         l_strict, _ = _tri_matrices(chunk_n)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk_n, 1), 0)
 
-        rgb_acc[...] = jnp.zeros((4, npix), jnp.float32)
+        rgb_acc[...] = jnp.zeros((5, npix), jnp.float32)
         t_row[...] = jnp.ones((1, npix), jnp.float32)
 
         def get_dma(slot, k):
@@ -137,8 +139,8 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
             cum = _dot(l_strict, lg, (((1,), (0,))))  # exclusive prefix
             tj = t_row[...] * jnp.exp(cum)  # (K, NPIX)
             w = alpha * tj
-            colors = coeffs[:, 7:10]  # (K, 3)
-            rgb_acc[0:3] = rgb_acc[0:3] + _dot(colors, w, (((0,), (0,))))
+            colors = coeffs[:, 7:11]  # (K, 4): r, g, b, depth
+            rgb_acc[0:4] = rgb_acc[0:4] + _dot(colors, w, (((0,), (0,))))
             new_t = t_row[...] * jnp.exp(
                 cum[chunk_n - 1 : chunk_n, :] + lg[chunk_n - 1 : chunk_n, :]
             )
@@ -161,7 +163,7 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
         def _():
             get_dma(jax.lax.rem(k_end, 2), k_end).wait()
 
-        rgb_acc[3:4] = t_row[...]
+        rgb_acc[4:5] = t_row[...]
         out_ref[0] = rgb_acc[...]
 
     return kernel
@@ -174,8 +176,9 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
         offsets_ref, counts_ref, pair_ref, ct_ref, grad_out_ref,
         chunk, gchunk, sem, gsem, t_row, vp_row,
     ):
-        # ct_ref block: (1, 6, NPIX) = [d_r, d_g, d_b, d_T, T_final, v]
-        # with v = sum_ch d_ch * final_rgb_ch
+        # ct_ref block: (1, 7, NPIX) = [d_r, d_g, d_b, d_depth, d_T,
+        # T_final, v] with v = sum over the 4 color channels of
+        # d_ch * final_ch
         t = pl.program_id(0)
         start = pl.multiple_of(offsets_ref[t], chunk_n)
         n = counts_ref[t]
@@ -185,10 +188,10 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
         l_strict, l_incl = _tri_matrices(chunk_n)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk_n, 1), 0)
 
-        d_rgb = ct_ref[0, 0:3]  # (3, NPIX)
-        d_t_final = ct_ref[0, 3:4]  # (1, NPIX)
-        t_final = ct_ref[0, 4:5]
-        v = ct_ref[0, 5:6]
+        d_rgb = ct_ref[0, 0:4]  # (4, NPIX): r, g, b, depth cotangents
+        d_t_final = ct_ref[0, 4:5]  # (1, NPIX)
+        t_final = ct_ref[0, 5:6]
+        v = ct_ref[0, 6:7]
 
         t_row[...] = jnp.ones((1, npix), jnp.float32)
         vp_row[...] = jnp.zeros((1, npix), jnp.float32)  # <d, prefix so far>
@@ -227,7 +230,7 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
             coeffs = chunk[slot]
             rowmask = (row_ids < (n - k * chunk_n)).astype(jnp.float32)
             alpha, graw, raw = _chunk_alpha(coeffs, phi, rowmask)
-            colors = coeffs[:, 7:10]  # (K, 3)
+            colors = coeffs[:, 7:11]  # (K, 4): r, g, b, depth
 
             lg = jnp.log1p(-alpha)
             cum = _dot(l_strict, lg, (((1,), (0,))))
@@ -246,7 +249,7 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
             active = ((raw >= ALPHA_MIN) & (raw <= ALPHA_MAX)).astype(jnp.float32)
             d_alpha = d_alpha * active * rowmask
 
-            d_colors = _dot(w, d_rgb, (((1,), (1,))))  # (K, 3)
+            d_colors = _dot(w, d_rgb, (((1,), (1,))))  # (K, 4)
             d_op = jnp.sum(d_alpha * graw, axis=1, keepdims=True)  # (K, 1)
             d_power = d_alpha * alpha
             d_coef = _dot(d_power, phi, (((1,), (1,))))  # (K, 8)
@@ -254,7 +257,7 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
             gchunk[slot] = jnp.zeros((chunk_n, NCHAN), jnp.float32)
             gchunk[slot, :, 0:6] = d_coef[:, 0:6]
             gchunk[slot, :, 6:7] = d_op
-            gchunk[slot, :, 7:10] = d_colors
+            gchunk[slot, :, 7:11] = d_colors
 
             # carries
             new_t = t_row[...] * jnp.exp(
@@ -339,22 +342,22 @@ def _rasterize_fwd_impl(
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 4, npix), lambda t, offsets, counts: (t, 0, 0)
+            (1, 5, npix), lambda t, offsets, counts: (t, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, chunk_n, NCHAN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((4, npix), jnp.float32),
+            pltpu.VMEM((5, npix), jnp.float32),
             pltpu.VMEM((1, npix), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         _forward_kernel(ntx, tile_h, tile_w, chunk_n),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 4, npix), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 5, npix), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(tile_offsets, tile_counts, pair_rows)
-    return _tiles_to_image(out, nty, ntx, tile_h, tile_w, 4)
+    return _tiles_to_image(out, nty, ntx, tile_h, tile_w, 5)
 
 
 @functools.partial(
@@ -374,7 +377,7 @@ def _rasterize_bwd_impl(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 6, npix), lambda t, offsets, counts: (t, 0, 0)),
+            pl.BlockSpec((1, 7, npix), lambda t, offsets, counts: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -416,13 +419,13 @@ def rasterize_pairs(
         tile_counts: (num_tiles,) int32 true per-tile pair counts.
 
     Returns:
-        rgb (H, W, 3), transmittance (H, W).
+        rgb (H, W, 3), depth (H, W), transmittance (H, W).
     """
     out = _rasterize_fwd_impl(
         pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w,
         chunk_n,
     )
-    return jnp.moveaxis(out[:3], 0, -1), out[3]
+    return jnp.moveaxis(out[:3], 0, -1), out[3], out[4]
 
 
 def _fwd(pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w, chunk_n):
@@ -431,15 +434,21 @@ def _fwd(pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w, ch
         chunk_n,
     )
     rgb = jnp.moveaxis(out[:3], 0, -1)
-    t = out[3]
-    return (rgb, t), (pair_rows, tile_offsets, tile_counts, rgb, t)
+    depth = out[3]
+    t = out[4]
+    return (rgb, depth, t), (pair_rows, tile_offsets, tile_counts, rgb, depth, t)
 
 
 def _bwd(height, width, tile_h, tile_w, chunk_n, residuals, cts):
-    pair_rows, tile_offsets, tile_counts, rgb_final, t_final = residuals
-    d_rgb, d_t = cts
-    d_planes = jnp.moveaxis(d_rgb, -1, 0)  # (3, H, W)
-    v = jnp.sum(d_planes * jnp.moveaxis(rgb_final, -1, 0), axis=0)  # (H, W)
+    pair_rows, tile_offsets, tile_counts, rgb_final, depth_final, t_final = residuals
+    d_rgb, d_depth, d_t = cts
+    d_planes = jnp.concatenate(
+        [jnp.moveaxis(d_rgb, -1, 0), d_depth[None]], axis=0
+    )  # (4, H, W)
+    final4 = jnp.concatenate(
+        [jnp.moveaxis(rgb_final, -1, 0), depth_final[None]], axis=0
+    )
+    v = jnp.sum(d_planes * final4, axis=0)  # (H, W)
     ct_planes = jnp.concatenate(
         [d_planes, d_t[None], t_final[None], v[None]], axis=0
     )

@@ -26,7 +26,9 @@ def composite_pixels(
 
     means = proj.means2d[order]
     conics = proj.conics[order]
-    colors = proj.colors[order]
+    colors = jnp.concatenate(
+        [proj.colors, proj.depths[:, None]], axis=1
+    )[order]  # (G, 4): rgb + depth composited alike
     opac = jnp.where(proj.valid[order], proj.opacities[order], 0.0)
 
     def body(carry, inputs):
@@ -43,17 +45,18 @@ def composite_pixels(
         t = t * (1.0 - alpha)
         return (rgb, t), None
 
-    rgb0 = jnp.zeros(px.shape[:-1] + (3,), jnp.float32)
+    rgb0 = jnp.zeros(px.shape[:-1] + (4,), jnp.float32)
     t0 = jnp.ones(px.shape[:-1], jnp.float32)
-    (rgb, t), _ = jax.lax.scan(body, (rgb0, t0), (means, conics, colors, opac))
-    return rgb, t
+    (rgbd, t), _ = jax.lax.scan(body, (rgb0, t0), (means, conics, colors, opac))
+    return rgbd, t
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "row_block"))
 def render_reference(
     proj: ProjectedGaussians, width: int, height: int, row_block: int = 16
 ):
-    """Full-image reference render. Returns (rgb (H, W, 3), T (H, W))."""
+    """Full-image reference render. Returns (rgb (H, W, 3), depth (H, W),
+    T (H, W))."""
     order = jnp.argsort(jnp.where(proj.valid, proj.depths, jnp.inf))
 
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
@@ -66,5 +69,6 @@ def render_reference(
         return composite_pixels(px, order, proj)
 
     rows = ys.reshape(-1, row_block)
-    rgb, t = jax.lax.map(render_rows, rows)
-    return rgb.reshape(height, width, 3), t.reshape(height, width)
+    rgbd, t = jax.lax.map(render_rows, rows)
+    rgbd = rgbd.reshape(height, width, 4)
+    return rgbd[..., :3], rgbd[..., 3], t.reshape(height, width)

@@ -49,6 +49,7 @@ _gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
 
 class RenderOutput(NamedTuple):
     rgb: jnp.ndarray  # (H, W, 3)
+    depth: jnp.ndarray  # (H, W) alpha-weighted expected depth
     transmittance: jnp.ndarray  # (H, W)
     radii: jnp.ndarray  # (G,) screen radii (0 = culled)
     num_pairs: jnp.ndarray  # () int32
@@ -101,9 +102,10 @@ def _render_impl(
     if not use_pallas:
         from gaussreg_tpu.gs.rasterizer.reference import render_reference
 
-        rgb, t = render_reference(proj, width, height)
+        rgb, depth, t = render_reference(proj, width, height)
         return RenderOutput(
-            rgb, t, proj.radii, jnp.sum(proj.valid), jnp.zeros((), jnp.int32)
+            rgb, depth, t, proj.radii, jnp.sum(proj.valid),
+            jnp.zeros((), jnp.int32),
         )
 
     hp = _round_up(height, tile_h)
@@ -128,20 +130,22 @@ def _render_impl(
             kernels.quadratic_coeffs(proj.means2d, proj.conics),
             proj.opacities[:, None],
             proj.colors,
+            proj.depths[:, None],
         ],
         axis=1,
-    )  # (G, 10)
+    )  # (G, 11)
     gdata = jnp.pad(gdata, ((0, 1), (0, kernels.NCHAN - gdata.shape[1])))
     # padding slots gather the all-zero row G (alpha 0 -> no-op); the VJP
     # routes per-pair gradients back via the (G, mt) position table
     pids = jnp.where(binning.pair_valid, binning.pair_gaussian, g)
     pair_rows = _gather_pairs(gdata, pids, binning.pair_positions)
 
-    rgb, t = kernels.rasterize_pairs(
+    rgb, depth, t = kernels.rasterize_pairs(
         pair_rows, binning.tile_offsets, binning.tile_counts, hp, wp, tile_h, tile_w
     )
     return RenderOutput(
         rgb[:height, :width],
+        depth[:height, :width],
         t[:height, :width],
         proj.radii,
         binning.num_pairs,

@@ -114,6 +114,9 @@ def test_pallas_matches_reference_forward():
     np.testing.assert_allclose(
         np.asarray(out_pal.transmittance), np.asarray(out_ref.transmittance), atol=5e-4
     )
+    np.testing.assert_allclose(
+        np.asarray(out_pal.depth), np.asarray(out_ref.depth), atol=5e-3
+    )
 
 
 def test_pallas_gradients_match_reference():
@@ -125,9 +128,13 @@ def test_pallas_gradients_match_reference():
             means, scales, quats, opac, sh, cam, use_pallas=use_pallas,
             max_tiles_per_gaussian=32,
         )
-        # weighted sums exercise rgb and transmittance gradients
+        # weighted sums exercise rgb, depth, and transmittance gradients
         w = jnp.linspace(0.5, 1.5, out.rgb.size).reshape(out.rgb.shape)
-        return jnp.sum(out.rgb * w) + 0.3 * jnp.sum(out.transmittance)
+        return (
+            jnp.sum(out.rgb * w)
+            + 0.3 * jnp.sum(out.transmittance)
+            + 0.05 * jnp.sum(out.depth)
+        )
 
     args = (means, scales, quats, opac, sh)
     g_ref = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args, use_pallas=False)
@@ -137,7 +144,7 @@ def test_pallas_gradients_match_reference():
         a = np.asarray(a)
         b = np.asarray(b)
         scale = np.abs(a).max() + 1e-6
-        np.testing.assert_allclose(b / scale, a / scale, atol=5e-4, err_msg=name)
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-3, err_msg=name)  # depth term amplifies roundoff
 
 
 def test_gradients_match_finite_differences():
