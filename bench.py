@@ -42,26 +42,28 @@ def main():
     )
 
     use_pallas = jax.default_backend() == "tpu"
-    chain = 5  # renders per jit call, amortizes dispatch latency
 
     def loss(m, s, q, o, c):
-        acc = 0.0
-        for i in range(chain):
-            out = render(
-                m + 0.0 * i, s, q, o, c, cam,
-                use_pallas=use_pallas, max_tiles_per_gaussian=16,
-            )
-            acc = acc + out.rgb.sum() + out.transmittance.sum()
-        return acc
+        out = render(
+            m, s, q, o, c, cam, use_pallas=use_pallas, max_tiles_per_gaussian=16
+        )
+        return out.rgb.sum() + out.transmittance.sum()
 
-    gfn = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+    def gsum(*a):
+        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*a)
+        return sum(jnp.sum(x) for x in g)
+
+    gfn = jax.jit(gsum)
     args = (means, scales, quats, opac, sh)
-    jax.block_until_ready(gfn(*args))  # compile
-    reps = 3
+    # warm-up/compile; float() forces host materialization — under remote
+    # TPU transports block_until_ready alone does not guarantee completion
+    float(gfn(*args))
+    reps = 6
     t0 = time.time()
-    for _ in range(reps):
-        jax.block_until_ready(gfn(*args))
-    dt = (time.time() - t0) / (reps * chain)
+    for i in range(reps):
+        # perturb one input so no layer can cache identical requests
+        float(gfn(means + 1e-6 * i, *args[1:]))
+    dt = (time.time() - t0) / reps
 
     mrays = width * height / dt / 1e6
     print(

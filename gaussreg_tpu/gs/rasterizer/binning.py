@@ -78,67 +78,70 @@ def bin_gaussians(
     tx0 = jnp.clip(tx0, 0, ntx - 1)
     ty0 = jnp.clip(ty0, 0, nty - 1)
 
-    slot = jnp.arange(mt, dtype=jnp.int32)  # (mt,)
-    dy = slot[None, :] // jnp.maximum(bw, 1)[:, None]
-    dx = slot[None, :] % jnp.maximum(bw, 1)[:, None]
-    in_bbox = slot[None, :] < jnp.minimum(count, mt)[:, None]
-    tile_id = (ty0[:, None] + dy) * ntx + (tx0[:, None] + dx)  # (G, mt)
-    tile_id = jnp.where(in_bbox, tile_id, num_tiles)  # invalid sort last
+    # --- sort-free counting binning -------------------------------------
+    # The only sort is a single depth argsort of the G gaussians. Working in
+    # depth order, the per-tile rank of a gaussian is the count of earlier
+    # (closer) gaussians touching the same tile — an exclusive cumsum of the
+    # (G, num_tiles) touch matrix. This replaces the O(G * mt) pair sort
+    # (the former dominant binning cost) with elementwise work + one cumsum.
+    depth_order = jnp.argsort(depths).astype(jnp.int32)  # (G,)
+    tx0s = tx0[depth_order]
+    ty0s = ty0[depth_order]
+    bws = bw[depth_order]
+    bhs = bh[depth_order]
+    counts_s = count[depth_order]
 
-    # sort pairs by (tile, depth) with ONE sort on a composite int32 key:
-    # tile * G + depth_rank(gaussian). Requires num_tiles * G < 2^31 (holds
-    # for any realistic scene/image; guarded at trace time).
-    assert (num_tiles + 1) * g < 2**31 - 1, (num_tiles, g)
-    depth_order = jnp.argsort(depths)  # (G,) one small sort
-    depth_rank = (
-        jnp.zeros(g, jnp.int32)
-        .at[depth_order]
-        .set(jnp.arange(g, dtype=jnp.int32))
+    tile_x = jnp.arange(num_tiles, dtype=jnp.int32) % ntx  # (T,)
+    tile_y = jnp.arange(num_tiles, dtype=jnp.int32) // ntx
+    # slot index of tile t within gaussian g's row-major bbox enumeration;
+    # the per-gaussian cap (first mt bbox tiles) is part of the predicate,
+    # keeping `touch` exactly consistent with the (G, mt) slots below
+    slot_of_t = (tile_y[None, :] - ty0s[:, None]) * bws[:, None] + (
+        tile_x[None, :] - tx0s[:, None]
     )
-    pair_gid = jnp.broadcast_to(
-        jnp.arange(g, dtype=jnp.int32)[:, None], (g, mt)
-    ).reshape(-1)
-    pair_key = tile_id.reshape(-1) * g + depth_rank[pair_gid]
+    touch = (
+        (tile_x[None, :] >= tx0s[:, None])
+        & (tile_x[None, :] < tx0s[:, None] + bws[:, None])
+        & (tile_y[None, :] >= ty0s[:, None])
+        & (tile_y[None, :] < ty0s[:, None] + bhs[:, None])
+        & (slot_of_t < mt)
+    )  # (G, T) in depth order
+    slot = jnp.arange(mt, dtype=jnp.int32)
+    dy = slot[None, :] // jnp.maximum(bws, 1)[:, None]
+    dx = slot[None, :] % jnp.maximum(bws, 1)[:, None]
+    in_bbox = slot[None, :] < jnp.minimum(counts_s, mt)[:, None]
+    tile_id_s = (ty0s[:, None] + dy) * ntx + (tx0s[:, None] + dx)  # (G, mt)
+    tile_id_s = jnp.where(in_bbox, tile_id_s, 0)
 
-    orig_idx = jnp.arange(g * mt, dtype=jnp.int32)
-    sorted_keys, sorted_orig = jax.lax.sort((pair_key, orig_idx), num_keys=1)
-    sorted_gid = pair_gid[sorted_orig]
-    sorted_valid = sorted_keys < num_tiles * g
+    touch_i = touch.astype(jnp.int32)
+    incl = jnp.cumsum(touch_i, axis=0)  # (G, T)
+    rank = incl - touch_i  # exclusive
+    tile_counts = incl[-1]  # (T,)
 
-    raw_offsets = jnp.searchsorted(
-        sorted_keys,
-        jnp.arange(num_tiles + 1, dtype=jnp.int32) * g,
-        side="left",
-    ).astype(jnp.int32)
-    tile_counts = raw_offsets[1:] - raw_offsets[:-1]
-    sorted_tiles = jnp.minimum(sorted_keys // g, num_tiles)
-
-    # re-layout so every tile's segment starts/ends on an `align` boundary
     padded_counts = ((tile_counts + align - 1) // align) * align
     tile_offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts, dtype=jnp.int32)]
     )
     cap = g * mt + num_tiles * align  # static upper bound on aligned length
-    p = sorted_tiles.shape[0]
-    rank = jnp.arange(p, dtype=jnp.int32) - raw_offsets[
-        jnp.minimum(sorted_tiles, num_tiles)
-    ]
-    new_pos = jnp.where(
-        sorted_valid, tile_offsets[jnp.minimum(sorted_tiles, num_tiles)] + rank, cap
-    )
+
+    ranks_gs = jnp.take_along_axis(rank, tile_id_s, axis=1)  # (G, mt)
+    base = tile_offsets[tile_id_s]
+    pos = jnp.where(in_bbox, base + ranks_gs, cap)  # (G, mt) in depth order
+
+    gid_s = depth_order  # sorted row -> original gaussian id
     pair_gaussian = (
-        jnp.zeros(cap + 1, jnp.int32).at[new_pos].set(sorted_gid)[:cap]
+        jnp.zeros(cap + 1, jnp.int32)
+        .at[pos.reshape(-1)]
+        .set(jnp.broadcast_to(gid_s[:, None], (g, mt)).reshape(-1))[:cap]
     )
     pair_valid = (
-        jnp.zeros(cap + 1, jnp.bool_).at[new_pos].set(sorted_valid)[:cap]
+        jnp.zeros(cap + 1, jnp.bool_)
+        .at[pos.reshape(-1)]
+        .set(in_bbox.reshape(-1))[:cap]
     )
-    # inverse map: original (gaussian, slot) -> aligned position (cap if
-    # unused); int32 scatter-set, 128x cheaper than a float row scatter-add
+    # inverse map: original (gaussian, slot) -> aligned position
     pair_positions = (
-        jnp.full(g * mt, cap, jnp.int32)
-        .at[sorted_orig]
-        .set(jnp.where(sorted_valid, new_pos, cap))
-        .reshape(g, mt)
+        jnp.zeros((g, mt), jnp.int32).at[depth_order].set(pos)
     )
 
     overflow = jnp.sum(jnp.maximum(count - mt, 0))
