@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from gaussreg_tpu.config import Config
-from gaussreg_tpu.ops.subsample import grid_subsample
+from gaussreg_tpu.ops.subsample import grid_subsample, spatial_sort
 from gaussreg_tpu.ops.neighbors import radius_search
 
 
@@ -36,6 +36,8 @@ class Pyramid(NamedTuple):
     upsampling: Tuple[jnp.ndarray, ...]  # (B, N_l, K_{l+1}) into level l+1
     num_voxels: Tuple[jnp.ndarray, ...]  # (B,) true voxel counts (overflow
     # accounting: compare against capacity; see SURVEY.md §7.3)
+    perm0: jnp.ndarray  # (B, N0) permutation applied to the level-0 input
+    # (Morton sort) — callers must apply it to per-point features
 
 
 @functools.partial(
@@ -60,6 +62,13 @@ def build_pyramid(
     assert num_stages == len(levels) == len(neighbor_limits)
     b = points.shape[0]
 
+    # every level is kept in Morton (Z-order) so that neighbor indices are
+    # spatially local — TPU gathers of neighbor features run ~50x faster
+    # with local indices (see ops/subsample.py: spatial_sort)
+    points, mask, perm0 = jax.vmap(
+        lambda p, m: spatial_sort(p, m, init_voxel_size)
+    )(points, mask)
+
     pts = [points]
     msks = [mask]
     nvox = [jnp.sum(mask, axis=-1).astype(jnp.int32)]
@@ -67,8 +76,11 @@ def build_pyramid(
     for lvl in range(1, num_stages):
         voxel = voxel * 2.0
         p, m, nv = jax.vmap(
-            lambda pp, mm: grid_subsample(pp, mm, voxel, capacity=levels[lvl])
+            lambda pp, mm, v=voxel, cap=levels[lvl]: grid_subsample(
+                pp, mm, v, capacity=cap
+            )
         )(pts[-1], msks[-1])
+        p, m, _ = jax.vmap(lambda pp, mm, v=voxel: spatial_sort(pp, mm, v))(p, m)
         pts.append(p)
         msks.append(m)
         nvox.append(nv)
@@ -105,6 +117,7 @@ def build_pyramid(
         subsampling=tuple(subsampling),
         upsampling=tuple(upsampling),
         num_voxels=tuple(nvox),
+        perm0=perm0,
     )
 
 
@@ -163,6 +176,9 @@ def make_pair_batch(
         cfg.capacity.neighbor_limits,
         cfg.backbone.num_stages,
     )
+    # level-0 points were Morton-sorted inside build_pyramid: apply the same
+    # permutation to the per-point features
+    feats = jnp.take_along_axis(feats, pyramid.perm0[:, :, None], axis=1)
     if transform is None:
         transform = jnp.eye(4)
     return PairBatch(pyramid, feats, jnp.asarray(transform, jnp.float32))

@@ -14,10 +14,16 @@ import jax.numpy as jnp
 from gaussreg_tpu.data.pipeline import Pyramid
 from gaussreg_tpu.models.kpconv import (
     ConvBlock,
-    ResidualBlock,
+    ResidualBlock as _ResidualBlock,
     UnaryBlock,
     nearest_upsample,
 )
+
+# rematerialize each residual block: KPConv's (B, M, H, C) neighbor-feature
+# intermediates dominate training memory; recomputing them in backward
+# (cheap now that gathers are Morton-local) keeps the full-capacity train
+# step within HBM
+ResidualBlock = nn.remat(_ResidualBlock)
 
 
 class KPConvFPN(nn.Module):

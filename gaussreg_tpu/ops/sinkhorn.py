@@ -75,6 +75,10 @@ def log_optimal_transport(
     )
     log_nu = jnp.where(pad_col_invalid, -_INF, log_nu)
 
+    # rematerialized scan body: without checkpoint, backprop through the
+    # iterations stores O(iters * B * M * N) logsumexp residuals (3+ GB at
+    # production capacity); with it, only the (u, v) carries are saved
+    @jax.checkpoint
     def body(carry, _):
         u, v = carry
         u = log_mu - jax.nn.logsumexp(padded + v[:, None, :], axis=2)

@@ -78,6 +78,36 @@ def grid_subsample(
     return out_points, out_mask, num_voxels
 
 
+def morton_code(points: jnp.ndarray, mask: jnp.ndarray, cell_size) -> jnp.ndarray:
+    """30-bit Morton (Z-order) code per point; invalid points get the max
+    code so they sort last. Spatially local points get nearby codes."""
+    big = jnp.asarray(jnp.finfo(points.dtype).max, points.dtype)
+    pmin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
+    c = jnp.clip(
+        jnp.floor((points - pmin) / cell_size).astype(jnp.int32), 0, _CMAX
+    )
+
+    def spread(x):  # 10 bits -> every 3rd bit of 30
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = spread(c[:, 0]) | (spread(c[:, 1]) << 1) | (spread(c[:, 2]) << 2)
+    return jnp.where(mask, code, jnp.int32(2**30))
+
+
+def spatial_sort(points: jnp.ndarray, mask: jnp.ndarray, cell_size):
+    """Sort points into Morton order (padding last). Returns
+    (points, mask, permutation). Spatially ordering each pyramid level makes
+    neighbor indices *local*, which is the difference between ~5 GB/s and
+    ~280 GB/s for the backbone's neighbor-feature gathers on TPU."""
+    code = morton_code(points, mask, cell_size)
+    order = jnp.argsort(code)
+    return points[order], mask[order], order
+
+
 def furthest_point_sample_host(points: np.ndarray, num_samples: int, seed: int = 0):
     """Host-side furthest point sampling (numpy), replacement for the
     reference's Rust-backed `fpsample.bucket_fps_kdline_sampling`
