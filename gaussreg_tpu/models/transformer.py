@@ -67,9 +67,15 @@ class MultiHeadAttention(nn.Module):
 
 
 class RPEMultiHeadAttention(nn.Module):
-    """MHA with pairwise relative positional embeddings added to the logits
-    via a projected embedding tensor (reference rpe_transformer.py:18-72:
-    einsum('bhnc,bhnmc->bhnm', q, proj_p(embed)))."""
+    """MHA with pairwise relative positional embeddings added to the logits.
+
+    Mathematically identical to the reference
+    (rpe_transformer.py:18-72: einsum('bhnc,bhnmc->bhnm', q, proj_p(embed)))
+    but the linear projection is applied to q instead of the embedding:
+    <q, Wp e + bp> = <Wp^T q, e> + <q, bp>. This avoids materializing the
+    (N, M, d_model) projected-embedding tensor per layer (~400 MB and
+    ~54 GFLOP each at production capacity) — the pairwise embedding is only
+    ever contracted against, never stored projected."""
 
     d_model: int
     num_heads: int
@@ -78,16 +84,23 @@ class RPEMultiHeadAttention(nn.Module):
     def __call__(self, q_in, k_in, v_in, embed_qk, key_valid=None):
         h = self.num_heads
         dh = self.d_model // h
+        d_embed = embed_qk.shape[-1]
         q = nn.Dense(self.d_model, name="proj_q")(q_in)
         k = nn.Dense(self.d_model, name="proj_k")(k_in)
         v = nn.Dense(self.d_model, name="proj_v")(v_in)
-        p = nn.Dense(self.d_model, name="proj_p")(embed_qk)  # (..., N, M, d)
+        wp = self.param(
+            "proj_p_kernel", nn.initializers.lecun_normal(), (d_embed, self.d_model)
+        )
+        bp = self.param("proj_p_bias", nn.initializers.zeros, (self.d_model,))
         q = q.reshape(q.shape[:-1] + (h, dh))
         k = k.reshape(k.shape[:-1] + (h, dh))
         v = v.reshape(v.shape[:-1] + (h, dh))
-        p = p.reshape(p.shape[:-1] + (h, dh))
         scores_e = jnp.einsum("...nhc,...mhc->...hnm", q, k)
-        scores_p = jnp.einsum("...nhc,...nmhc->...hnm", q, p)
+        # <q, Wp e>: project q back through Wp, contract with the raw embed
+        qp = jnp.einsum("...nhc,Dhc->...nhD", q, wp.reshape(d_embed, h, dh))
+        scores_p = jnp.einsum("...nmD,...nhD->...hnm", embed_qk, qp)
+        qb = jnp.einsum("...nhc,hc->...nh", q, bp.reshape(h, dh))
+        scores_p = scores_p + jnp.swapaxes(qb, -1, -2)[..., None]
         scores = (scores_e + scores_p) / np.sqrt(dh)
         if key_valid is not None:
             scores = jnp.where(key_valid[..., None, None, :], scores, -jnp.inf)
