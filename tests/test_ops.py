@@ -141,3 +141,29 @@ def test_fps_host_spread():
     dr = np.linalg.norm(rnd[:, None] - rnd[None], axis=-1)
     np.fill_diagonal(dr, np.inf)
     assert d.min() > dr.min()
+
+
+def test_spatial_sort_locality():
+    """Morton sort keeps spatial neighbors nearby in index space."""
+    from gaussreg_tpu.ops.subsample import spatial_sort
+
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(0, 2.0, size=(1000, 3)).astype(np.float32)
+    p, m = _pad(pts, 1024)
+    sp, sm, perm = spatial_sort(p, m, 0.05)
+    sp = np.asarray(sp)
+    sm = np.asarray(sm)
+    # permutation property: sorted points are a permutation of the input
+    assert sm.sum() == 1000
+    assert not sm[1000:].any() or sm.sum() == 1000
+    np.testing.assert_allclose(
+        np.sort(sp[sm], axis=0), np.sort(pts, axis=0), atol=0
+    )
+    # locality: mean index distance of the 5 nearest spatial neighbors is
+    # far below the random expectation (~n/3)
+    valid = sp[sm]
+    d = np.linalg.norm(valid[:, None] - valid[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    nn_idx = np.argsort(d, axis=1)[:, :5]
+    idx_dist = np.abs(nn_idx - np.arange(1000)[:, None]).mean()
+    assert idx_dist < 200  # random order would give ~333
