@@ -41,14 +41,14 @@ def coarse_register_clouds(
     dict with 'estimated_transform' in the normalized frame."""
     model = create_model(cfg)
     batch = make_pair_batch(cfg, ref_points, ref_feats, src_points, src_feats)
-    out = model.apply(
-        params,
-        batch,
-        train=False,
-        with_transform=True,
-        rngs={"ransac": jax.random.PRNGKey(seed)},
+    # jit is essential: an eager apply dispatches thousands of individual ops
+    # (pathological over remote-TPU transports)
+    apply = jax.jit(
+        lambda p, b, k: model.apply(
+            p, b, train=False, with_transform=True, rngs={"ransac": k}
+        )
     )
-    return out
+    return apply(params, batch, jax.random.PRNGKey(seed))
 
 
 def register_gs_pair(

@@ -42,10 +42,14 @@ def _transform_gaussians_device(xyz, scales, rots, f_rest, transform):
 @jax.jit
 def _keep_masks_device(xyz1, xyz2):
     """Midpoint filter: keep a point iff it is closer to its own cloud's
-    centroid than to the other cloud's (reference gs_fusion.py:252-255)."""
+    centroid than to the other cloud's (reference gs_fusion.py:252-255).
+
+    Cloud 1 keeps ties (<=): with perfectly-aligned clouds (coincident
+    centroids) the reference's strict < on both sides drops every point of
+    both models; the asymmetric tie-break keeps exactly one copy instead."""
     c1 = xyz1.mean(0)
     c2 = xyz2.mean(0)
-    keep1 = jnp.linalg.norm(xyz1 - c1, axis=1) < jnp.linalg.norm(xyz1 - c2, axis=1)
+    keep1 = jnp.linalg.norm(xyz1 - c1, axis=1) <= jnp.linalg.norm(xyz1 - c2, axis=1)
     keep2 = jnp.linalg.norm(xyz2 - c2, axis=1) < jnp.linalg.norm(xyz2 - c1, axis=1)
     return keep1, keep2
 

@@ -164,8 +164,9 @@ def save_gaussians(path: str, g: GaussianModel) -> None:
     f_dc = g.f_dc.reshape(n, 3)
     for i in range(3):
         cols[f"f_dc_{i}"] = f_dc[:, i]
-    f_rest = g.f_rest.reshape(n, -1)
-    for i in range(f_rest.shape[1]):
+    n_rest = g.f_rest.shape[1] * g.f_rest.shape[2]
+    f_rest = g.f_rest.reshape(n, n_rest)  # explicit: reshape(n, -1) breaks at n == 0
+    for i in range(n_rest):
         cols[f"f_rest_{i}"] = f_rest[:, i]
     cols["opacity"] = g.opacity.reshape(n)
     for i in range(g.scales.shape[1]):
