@@ -99,8 +99,22 @@ class KPConv(nn.Module):
         influence = jnp.maximum(1.0 - jnp.sqrt(sq) / self.sigma, 0.0)
 
         nf = batched_gather(s_feats, neighbor_indices, fill=0.0)  # (B, M, H, C)
-        weighted = jnp.einsum("bmhk,bmhc->bmkc", influence, nf)
-        out = jnp.einsum("bmkc,kcd->bmd", weighted, weights)
+        # bf16 inputs + f32 accumulation: these einsums dominate backbone
+        # time (batched small matmuls); f32 MXU matmuls cost 3 passes, bf16
+        # one. Activation precision loss is negligible for the network.
+        bf = jnp.bfloat16
+        weighted = jnp.einsum(
+            "bmhk,bmhc->bmkc",
+            influence.astype(bf),
+            nf.astype(bf),
+            preferred_element_type=jnp.float32,
+        )
+        out = jnp.einsum(
+            "bmkc,kcd->bmd",
+            weighted.astype(bf),
+            weights.astype(bf),
+            preferred_element_type=jnp.float32,
+        )
 
         # per-query neighbor-count normalization (reference kpconv.py:113-116)
         count = jnp.sum(neighbor_indices != s_points.shape[1], axis=-1)
