@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Rasterizer stage attribution on real TPU through the axon tunnel.
+
+Timing method (see PERF.md): the tunnel adds ~30 ms RTT per call,
+block_until_ready is unreliable, and identical requests may be cached.
+So each measurement jits a fori_loop running the stage R times with an
+iteration-dependent input perturbation, forces host materialization of a
+scalar, and reports the slope between two rep counts — per-rep time with
+RTT/launch overhead cancelled.
+"""
+
+import sys
+import time
+import functools
+
+STAGE_FILTER = sys.argv[1:]  # substrings; empty = run all
+
+
+def _selected(name):
+    return not STAGE_FILTER or any(s in name for s in STAGE_FILTER)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussreg_tpu.gs.rasterizer.camera import look_at_camera, Camera
+from gaussreg_tpu.gs.rasterizer.render import render, _gather_pairs
+from gaussreg_tpu.gs.rasterizer.binning import bin_gaussians
+from gaussreg_tpu.gs.rasterizer.project import project_gaussians
+from gaussreg_tpu.gs.rasterizer import kernels
+
+
+def make_scene(n=100000, width=640, height=480):
+    rng = np.random.default_rng(0)
+    means = jnp.asarray(rng.uniform(-1, 1, size=(n, 3)), jnp.float32)
+    scales = jnp.asarray(
+        np.exp(rng.normal(loc=-3.2, scale=0.4, size=(n, 3))), jnp.float32
+    )
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    opac = jnp.asarray(1 / (1 + np.exp(-rng.normal(1.0, 1.0, size=n))), jnp.float32)
+    sh = np.zeros((n, 3, 16), np.float32)
+    sh[:, :, 0] = rng.uniform(-1, 1, size=(n, 3))
+    sh[:, :, 1:] = rng.normal(scale=0.05, size=(n, 3, 15))
+    sh = jnp.asarray(sh)
+    cam = look_at_camera(
+        eye=[0, 0, -4.0], target=[0, 0, 0], up=[0, 1, 0],
+        fov_deg=60, width=width, height=height,
+    )
+    return means, scales, quats, opac, sh, cam
+
+
+def timed_slope(name, scalar_fn, r_lo=2, r_hi=8, n_meas=3, big_args=()):
+    """scalar_fn(i, *big_args) -> scalar; jit a loop running it R times.
+    Large arrays must go through big_args (closing over them serializes
+    them into the remote compile request -> HTTP 413)."""
+    if not _selected(name):
+        return None
+
+    def looped(R_dummy, big, R):
+        def body(i, acc):
+            return acc + scalar_fn(i, *big)
+        return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+
+    f = jax.jit(looped, static_argnames="R")
+    # compile both variants
+    float(f(0, big_args, R=r_lo)); float(f(0, big_args, R=r_hi))
+
+    def meas(R):
+        ts = []
+        for k in range(n_meas):
+            t0 = time.time()
+            float(f(k, big_args, R=R))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    t_lo, t_hi = meas(r_lo), meas(r_hi)
+    per = (t_hi - t_lo) / (r_hi - r_lo)
+    print(f"{name:45s} {per * 1e3:8.2f} ms/rep   (lo {t_lo*1e3:.0f} hi {t_hi*1e3:.0f})")
+    return per
+
+
+def main():
+    means, scales, quats, opac, sh, cam = make_scene()
+    width, height = cam.width, cam.height
+    n = means.shape[0]
+    valid = jnp.ones(n, bool)
+    camera_static = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+                     int(cam.width), int(cam.height))
+    tile_h, tile_w, mt = 16, 32, 16
+    hp = ((height + tile_h - 1) // tile_h) * tile_h
+    wp = ((width + tile_w - 1) // tile_w) * tile_w
+
+    def perturb(i):
+        return means + 1e-6 * i
+
+    # --- stage: projection fwd
+    def proj_fwd(i):
+        p = project_gaussians(perturb(i), scales, quats, opac, sh, cam)
+        return p.means2d.sum() + p.colors.sum() + p.radii.sum()
+    timed_slope("projection fwd", proj_fwd)
+
+    # --- stage: projection fwd+bwd
+    def proj_loss(m):
+        p = project_gaussians(m, scales, quats, opac, sh, cam)
+        return p.means2d.sum() + p.colors.sum() + p.conics.sum()
+    def proj_bwd(i):
+        return jax.grad(proj_loss)(perturb(i)).sum()
+    timed_slope("projection fwd+bwd", proj_bwd)
+
+    # --- precompute a projection for downstream stages
+    proj = jax.jit(lambda m: project_gaussians(m, scales, quats, opac, sh, cam))(means)
+    proj = jax.tree.map(lambda x: jax.device_put(x), proj)
+
+    # --- stage: binning alone
+    def bin_only(i):
+        b = bin_gaussians(proj.means2d + 1e-6 * i, proj.radii, proj.depths,
+                          wp, hp, tile_w=tile_w, tile_h=tile_h,
+                          max_tiles_per_gaussian=mt, align=kernels.CHUNK)
+        return (b.tile_offsets[-1] + b.num_pairs).astype(jnp.float32)
+    timed_slope("binning", bin_only)
+
+    binning = jax.jit(functools.partial(
+        bin_gaussians, width=wp, height=hp, tile_w=tile_w, tile_h=tile_h,
+        max_tiles_per_gaussian=mt, align=kernels.CHUNK))(
+        proj.means2d, proj.radii, proj.depths)
+    print(f"  pairs={int(binning.num_pairs)} aligned_len={int(binning.tile_offsets[-1])} cap={binning.pair_gaussian.shape[0]} overflow={int(binning.overflow)}")
+
+    # --- stage: gdata build + pair gather fwd
+    g = n
+    def make_gdata(i):
+        gdata = jnp.concatenate([
+            kernels.quadratic_coeffs(proj.means2d + 1e-6 * i, proj.conics),
+            proj.opacities[:, None], proj.colors, proj.depths[:, None],
+        ], axis=1)
+        return jnp.pad(gdata, ((0, 1), (0, kernels.NCHAN - gdata.shape[1])))
+
+    pids = jnp.where(binning.pair_valid, binning.pair_gaussian, g)
+
+    def gather_fwd(i):
+        rows = _gather_pairs(make_gdata(i), pids, binning.pair_positions)
+        return rows.sum()
+    timed_slope("gdata+gather fwd", gather_fwd)
+
+    def gather_bwd(i):
+        def f(m2d):
+            gdata = jnp.concatenate([
+                kernels.quadratic_coeffs(m2d, proj.conics),
+                proj.opacities[:, None], proj.colors, proj.depths[:, None],
+            ], axis=1)
+            gdata = jnp.pad(gdata, ((0, 1), (0, kernels.NCHAN - gdata.shape[1])))
+            rows = _gather_pairs(gdata, pids, binning.pair_positions)
+            return rows.sum()
+        return jax.grad(f)(proj.means2d + 1e-6 * i).sum()
+    timed_slope("gdata+gather fwd+bwd", gather_bwd)
+
+    # --- stage: pallas kernels on fixed pair rows
+    gdata0 = jax.jit(make_gdata)(0)
+    pair_rows = jax.jit(lambda gd: gd[pids])(gdata0)
+
+    def pallas_fwd(i, pr):
+        rgb, depth, t = kernels.rasterize_pairs(
+            pr + 1e-9 * i, binning.tile_offsets, binning.tile_counts,
+            hp, wp, tile_h, tile_w)
+        return rgb.sum() + t.sum()
+    timed_slope("pallas fwd kernel", pallas_fwd, big_args=(pair_rows,))
+
+    def pallas_bwd(i, pr0):
+        def f(pr):
+            rgb, depth, t = kernels.rasterize_pairs(
+                pr, binning.tile_offsets, binning.tile_counts,
+                hp, wp, tile_h, tile_w)
+            return rgb.sum() + t.sum()
+        return jax.grad(f)(pr0 + 1e-9 * i).sum()
+    timed_slope("pallas fwd+bwd kernels", pallas_bwd, big_args=(pair_rows,))
+
+    # --- full render fwd
+    def full_fwd(i):
+        out = render(perturb(i), scales, quats, opac, sh, cam,
+                     use_pallas=True, max_tiles_per_gaussian=mt)
+        return out.rgb.sum() + out.transmittance.sum()
+    timed_slope("full render fwd", full_fwd)
+
+    # --- full render fwd+bwd (the bench)
+    def full_bwd(i):
+        def loss(m, s, q, o, c):
+            out = render(m, s, q, o, c, cam, use_pallas=True,
+                         max_tiles_per_gaussian=mt)
+            return out.rgb.sum() + out.transmittance.sum()
+        gr = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(perturb(i), scales, quats, opac, sh)
+        return sum(jnp.sum(x) for x in gr)
+    timed_slope("FULL render fwd+bwd (bench)", full_bwd)
+
+
+if __name__ == "__main__":
+    main()
