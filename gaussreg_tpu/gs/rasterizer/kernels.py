@@ -1,33 +1,38 @@
 """Pallas TPU kernels: tile-based gaussian alpha compositing, forward +
 analytic backward — fully vectorized (no per-gaussian scalar loop).
 
-Key idea (TPU-native; see SURVEY.md §7.2 step 6): for a chunk of K gaussians
-and a tile of 2048 pixels,
+Key ideas (TPU-native; see SURVEY.md §7.2 step 6):
 
 - each gaussian's log-density is a quadratic form in pixel coords, so the
-  (K, 2048) exponent matrix is ONE MXU matmul: coeffs (K, 8) @ phi (8, 2048)
-  with phi = [1, x, y, x^2, xy, y^2, 0, 0]; the six coefficients are
-  precomputed (differentiably) outside the kernel from means/conics;
+  (K, NPIX) exponent matrix is ONE MXU matmul: coeffs (8, K) contracted with
+  phi (8, NPIX) where phi = [1, x, y, x^2, xy, y^2, 0, 0]. Opacity is folded
+  into the constant coefficient as log(opacity), so alpha = exp(min(power,0))
+  clamped — one channel and one gradient path fewer;
 - the front-to-back compositing recurrence T_j = prod_{i<j}(1 - a_i) becomes
   a log-space *prefix sum*, computed as a strictly-lower-triangular (K, K)
-  matmul on the MXU — the only sequential dependency left is one (1, 2048)
+  matmul on the MXU — the only sequential dependency left is one (1, NPIX)
   carry per chunk;
-- color accumulation and all per-gaussian gradient reductions are matmuls
-  contracting either the pixel axis or the gaussian axis.
+- pair data lives in HBM CHANNEL-MAJOR as (num_blocks, 16, CHUNK) f32 blocks.
+  With only ~12 live channels, a pair-major (P, 128) layout wastes 8x HBM
+  capacity and bandwidth (TPU pads the minor dim to 128 lanes); the
+  channel-major block layout is dense, and every kernel matmul consumes it
+  directly (contracting the 8-sublane or 4-sublane channel axis) with no
+  in-kernel transposes.
 
 The backward runs in forward order (prefix recomputation): suffix color
 inner products come from <d, S_j> = <d, final_rgb> - <d, prefix_j>.
-Per-pair gradient rows are written out chunk-by-chunk (atomics-free);
-accumulation onto gaussians is the VJP of the pair gather outside (an XLA
-scatter-add), and the chain from the quadratic coefficients back to
-means2d/conics is ordinary autodiff outside the kernel.
+Per-pair gradient blocks are written out chunk-by-chunk (atomics-free);
+accumulation onto gaussians is a one-hot-matmul Pallas kernel (see accum.py),
+and the chain from the quadratic coefficients back to means2d/conics/opacity
+is ordinary autodiff outside the kernel.
 
-Pair channel layout (P_aligned, 128), first 11 lanes used:
-  0..5: quadratic coeffs [a0, ax, ay, axx, axy, ayy]
-  6: opacity  7: r  8: g  9: b  10: depth
-(the coeff matmul consumes lanes 0..7; phi rows 6, 7 are zero so lanes 6, 7
-contribute nothing there. Depth is composited exactly like a color channel,
-yielding alpha-weighted expected depth.)
+Pair channel layout (16 sublanes per block):
+  0..5: quadratic coeffs [a0 + log(op), ax, ay, axx, axy, ayy]
+  6..7: zero (phi rows 6, 7 are zero, so these never contribute)
+  8..11: r, g, b, depth
+  12..15: zero padding
+(depth is composited exactly like a color channel, yielding alpha-weighted
+expected depth.)
 """
 
 from __future__ import annotations
@@ -47,10 +52,8 @@ T_EPS = 1e-4  # chunk-level early termination: once every pixel of the tile
 # has transmittance below this, remaining chunks are skipped — in BOTH
 # passes (the backward also walks forward, recomputing the identical
 # T sequence), so fwd/bwd stay exactly consistent
-CHUNK = 64  # default gaussians per chunk (sublane rows of the working set);
-# the triangular-matmul blending cost scales linearly with this, so smaller
-# is cheaper until per-chunk overheads dominate
-NCHAN = 128  # one 128-lane row per pair
+CHUNK = 128  # gaussians per chunk == lane width of a pair block
+NCHAN = 16  # channel sublanes per pair block
 
 
 def _phi_and_masks(t, ntx, tile_h, tile_w):
@@ -84,15 +87,13 @@ def _dot(a, b, dims):
 
 
 def _chunk_alpha(coeffs, phi, rowmask):
-    """alpha/gauss tensors for one chunk. coeffs (K, 128); returns
-    (alpha, graw, raw) each (K, NPIX)."""
-    power = _dot(coeffs[:, 0:8], phi, (((1,), (0,))))  # (K, NPIX)
-    graw = jnp.exp(jnp.minimum(power, 0.0))
-    op = coeffs[:, 6:7]  # (K, 1)
-    raw = op * graw
+    """alpha for one channel-major chunk. coeffs (NCHAN, K); returns
+    (alpha, raw) each (K, NPIX)."""
+    power = _dot(coeffs[0:8], phi, (((0,), (0,))))  # (K, NPIX)
+    raw = jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.where(raw < ALPHA_MIN, 0.0, jnp.minimum(raw, ALPHA_MAX))
     alpha = alpha * rowmask
-    return alpha, graw, raw
+    return alpha, raw
 
 
 def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
@@ -101,7 +102,7 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
     def kernel(offsets_ref, counts_ref, pair_ref, out_ref, chunk, sem, rgb_acc, t_row):
         # rgb_acc rows: 0..3 = r, g, b, depth accumulators; row 4 = final T
         t = pl.program_id(0)
-        start = pl.multiple_of(offsets_ref[t], chunk_n)
+        start_blk = offsets_ref[t]  # block units
         n = counts_ref[t]
         num_chunks = jax.lax.div(n + chunk_n - 1, chunk_n)
 
@@ -114,7 +115,7 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
 
         def get_dma(slot, k):
             return pltpu.make_async_copy(
-                pair_ref.at[pl.ds(pl.multiple_of(start + k * chunk_n, chunk_n), chunk_n), :],
+                pair_ref.at[start_blk + k],
                 chunk.at[slot],
                 sem.at[slot],
             )
@@ -131,16 +132,16 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
                 get_dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
             get_dma(slot, k).wait()
-            coeffs = chunk[slot]  # (K, 128)
+            coeffs = chunk[slot]  # (NCHAN, K) channel-major
             rowmask = (row_ids < (n - k * chunk_n)).astype(jnp.float32)
-            alpha, _, _ = _chunk_alpha(coeffs, phi, rowmask)
+            alpha, _ = _chunk_alpha(coeffs, phi, rowmask)
 
             lg = jnp.log1p(-alpha)
             cum = _dot(l_strict, lg, (((1,), (0,))))  # exclusive prefix
             tj = t_row[...] * jnp.exp(cum)  # (K, NPIX)
             w = alpha * tj
-            colors = coeffs[:, 7:11]  # (K, 4): r, g, b, depth
-            rgb_acc[0:4] = rgb_acc[0:4] + _dot(colors, w, (((0,), (0,))))
+            colors = coeffs[8:12]  # (4, K): r, g, b, depth
+            rgb_acc[0:4] = rgb_acc[0:4] + _dot(colors, w, (((1,), (0,))))
             new_t = t_row[...] * jnp.exp(
                 cum[chunk_n - 1 : chunk_n, :] + lg[chunk_n - 1 : chunk_n, :]
             )
@@ -178,9 +179,11 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
     ):
         # ct_ref block: (1, 7, NPIX) = [d_r, d_g, d_b, d_depth, d_T,
         # T_final, v] with v = sum over the 4 color channels of
-        # d_ch * final_ch
+        # d_ch * final_ch. Per-pair gradient blocks (NCHAN, K) are written
+        # out chunk-by-chunk; accumulation onto gaussians is the one-hot
+        # matmul kernel in accum.py (no VMEM cap on gaussian count).
         t = pl.program_id(0)
-        start = pl.multiple_of(offsets_ref[t], chunk_n)
+        start_blk = offsets_ref[t]
         n = counts_ref[t]
         num_chunks = jax.lax.div(n + chunk_n - 1, chunk_n)
 
@@ -198,16 +201,12 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
 
         def in_dma(slot, k):
             return pltpu.make_async_copy(
-                pair_ref.at[pl.ds(pl.multiple_of(start + k * chunk_n, chunk_n), chunk_n), :],
-                chunk.at[slot],
-                sem.at[slot],
+                pair_ref.at[start_blk + k], chunk.at[slot], sem.at[slot]
             )
 
         def out_dma(slot, k):
             return pltpu.make_async_copy(
-                gchunk.at[slot],
-                grad_out_ref.at[pl.ds(pl.multiple_of(start + k * chunk_n, chunk_n), chunk_n), :],
-                gsem.at[slot],
+                gchunk.at[slot], grad_out_ref.at[start_blk + k], gsem.at[slot]
             )
 
         @pl.when(num_chunks > 0)
@@ -223,14 +222,16 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
 
             in_dma(slot, k).wait()
 
+            # the gradient write into this slot two chunks ago must land
+            # before we overwrite the buffer
             @pl.when(k >= 2)
             def _():
                 out_dma(slot, k - 2).wait()
 
-            coeffs = chunk[slot]
+            coeffs = chunk[slot]  # (NCHAN, K)
             rowmask = (row_ids < (n - k * chunk_n)).astype(jnp.float32)
-            alpha, graw, raw = _chunk_alpha(coeffs, phi, rowmask)
-            colors = coeffs[:, 7:11]  # (K, 4): r, g, b, depth
+            alpha, raw = _chunk_alpha(coeffs, phi, rowmask)
+            colors = coeffs[8:12]  # (4, K): r, g, b, depth
 
             lg = jnp.log1p(-alpha)
             cum = _dot(l_strict, lg, (((1,), (0,))))
@@ -238,7 +239,7 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
             w = alpha * tj
             one_m = 1.0 - alpha
 
-            e = _dot(colors, d_rgb, (((1,), (0,))))  # (K, NPIX)
+            e = _dot(colors, d_rgb, (((0,), (0,))))  # (K, NPIX)
             ew = e * w
             u = vp_row[...] + _dot(l_incl, ew, (((1,), (0,))))  # <d, P_j>
             d_alpha = (
@@ -247,17 +248,15 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
                 - d_t_final * t_final / one_m
             )
             active = ((raw >= ALPHA_MIN) & (raw <= ALPHA_MAX)).astype(jnp.float32)
-            d_alpha = d_alpha * active * rowmask
+            # d raw / d power = raw in the active band (alpha == raw there)
+            d_power = d_alpha * raw * active * rowmask
 
-            d_colors = _dot(w, d_rgb, (((1,), (1,))))  # (K, 4)
-            d_op = jnp.sum(d_alpha * graw, axis=1, keepdims=True)  # (K, 1)
-            d_power = d_alpha * alpha
-            d_coef = _dot(d_power, phi, (((1,), (1,))))  # (K, 8)
-
-            gchunk[slot] = jnp.zeros((chunk_n, NCHAN), jnp.float32)
-            gchunk[slot, :, 0:6] = d_coef[:, 0:6]
-            gchunk[slot, :, 6:7] = d_op
-            gchunk[slot, :, 7:11] = d_colors
+            d_colors = _dot(d_rgb, w, (((1,), (1,))))  # (4, K)
+            d_coef = _dot(phi, d_power, (((1,), (1,))))  # (8, K)
+            gchunk[slot, 0:8] = d_coef
+            gchunk[slot, 8:12] = d_colors
+            gchunk[slot, 12:16] = jnp.zeros((4, chunk_n), jnp.float32)
+            out_dma(slot, k).start()
 
             # carries
             new_t = t_row[...] * jnp.exp(
@@ -267,8 +266,6 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
             vp_row[...] = vp_row[...] + _dot(
                 jnp.ones((1, chunk_n), jnp.float32), ew, (((1,), (0,)))
             )
-
-            out_dma(slot, k).start()
             return jnp.max(new_t)
 
         def cond(carry):
@@ -296,11 +293,11 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
         def _():
             out_dma(jax.lax.rem(k_end - 2, 2), k_end - 2).wait()
 
-        # early-terminated chunks still own gradient rows: zero-fill them
+        # early-terminated chunks still own gradient blocks: zero-fill them
         # (pure DMA, no compute)
         @pl.when(k_end < num_chunks)
         def _():
-            gchunk[0] = jnp.zeros((chunk_n, NCHAN), jnp.float32)
+            gchunk[0] = jnp.zeros((NCHAN, chunk_n), jnp.float32)
 
             def zbody(k, _):
                 dma = out_dma(0, k)
@@ -327,12 +324,12 @@ def _image_to_tiles(planes, nty, ntx, tile_h, tile_w):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "tile_h", "tile_w", "chunk_n")
+    jax.jit, static_argnames=("height", "width", "tile_h", "tile_w")
 )
 def _rasterize_fwd_impl(
-    pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w,
-    chunk_n=CHUNK,
+    pair_blocks, tile_offsets_blk, tile_counts, height, width, tile_h, tile_w
 ):
+    chunk_n = pair_blocks.shape[2]
     ntx = width // tile_w
     nty = height // tile_h
     num_tiles = ntx * nty
@@ -345,7 +342,7 @@ def _rasterize_fwd_impl(
             (1, 5, npix), lambda t, offsets, counts: (t, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_n, NCHAN), jnp.float32),
+            pltpu.VMEM((2, NCHAN, chunk_n), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((5, npix), jnp.float32),
             pltpu.VMEM((1, npix), jnp.float32),
@@ -356,17 +353,18 @@ def _rasterize_fwd_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, 5, npix), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(tile_offsets, tile_counts, pair_rows)
+    )(tile_offsets_blk, tile_counts, pair_blocks)
     return _tiles_to_image(out, nty, ntx, tile_h, tile_w, 5)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "tile_h", "tile_w", "chunk_n")
+    jax.jit, static_argnames=("height", "width", "tile_h", "tile_w")
 )
 def _rasterize_bwd_impl(
-    pair_rows, tile_offsets, tile_counts, ct_planes, height, width, tile_h,
-    tile_w, chunk_n=CHUNK,
+    pair_blocks, tile_offsets_blk, tile_counts, ct_planes, height, width,
+    tile_h, tile_w,
 ):
+    chunk_n = pair_blocks.shape[2]
     ntx = width // tile_w
     nty = height // tile_h
     num_tiles = ntx * nty
@@ -381,8 +379,8 @@ def _rasterize_bwd_impl(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_n, NCHAN), jnp.float32),
-            pltpu.VMEM((2, chunk_n, NCHAN), jnp.float32),
+            pltpu.VMEM((2, NCHAN, chunk_n), jnp.float32),
+            pltpu.VMEM((2, NCHAN, chunk_n), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, npix), jnp.float32),
@@ -392,55 +390,54 @@ def _rasterize_bwd_impl(
     grads = pl.pallas_call(
         _backward_kernel(ntx, tile_h, tile_w, chunk_n),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(pair_rows.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(pair_blocks.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() != "tpu",
-    )(tile_offsets, tile_counts, pair_rows, ct_tiles)
+    )(tile_offsets_blk, tile_counts, pair_blocks, ct_tiles)
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def rasterize_pairs(
-    pair_rows,
-    tile_offsets,
+    pair_blocks,
+    tile_offsets_blk,
     tile_counts,
     height: int,
     width: int,
     tile_h: int = 16,
-    tile_w: int = 128,
-    chunk_n: int = CHUNK,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Composite aligned (gaussian, tile) pair data into an image.
+    tile_w: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Composite channel-major (gaussian, tile) pair blocks into an image.
 
     Args:
-        pair_rows: (P_aligned, 128) pair-major channels (see module
-            docstring); segments CHUNK-aligned by binning.
-        tile_offsets: (num_tiles + 1,) int32 aligned ranges into pair_rows.
+        pair_blocks: (num_blocks, NCHAN, CHUNK) channel-major pair data (see
+            module docstring); tile segments are whole blocks.
+        tile_offsets_blk: (num_tiles + 1,) int32 block-unit segment starts.
         tile_counts: (num_tiles,) int32 true per-tile pair counts.
 
     Returns:
         rgb (H, W, 3), depth (H, W), transmittance (H, W).
     """
     out = _rasterize_fwd_impl(
-        pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w,
-        chunk_n,
+        pair_blocks, tile_offsets_blk, tile_counts, height, width, tile_h,
+        tile_w,
     )
     return jnp.moveaxis(out[:3], 0, -1), out[3], out[4]
 
 
-def _fwd(pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w, chunk_n):
+def _fwd(pair_blocks, tile_offsets_blk, tile_counts, height, width, tile_h, tile_w):
     out = _rasterize_fwd_impl(
-        pair_rows, tile_offsets, tile_counts, height, width, tile_h, tile_w,
-        chunk_n,
+        pair_blocks, tile_offsets_blk, tile_counts, height, width, tile_h,
+        tile_w,
     )
     rgb = jnp.moveaxis(out[:3], 0, -1)
     depth = out[3]
     t = out[4]
-    return (rgb, depth, t), (pair_rows, tile_offsets, tile_counts, rgb, depth, t)
+    return (rgb, depth, t), (pair_blocks, tile_offsets_blk, tile_counts, rgb, depth, t)
 
 
-def _bwd(height, width, tile_h, tile_w, chunk_n, residuals, cts):
-    pair_rows, tile_offsets, tile_counts, rgb_final, depth_final, t_final = residuals
+def _bwd(height, width, tile_h, tile_w, residuals, cts):
+    pair_blocks, tile_offsets_blk, tile_counts, rgb_final, depth_final, t_final = residuals
     d_rgb, d_depth, d_t = cts
     d_planes = jnp.concatenate(
         [jnp.moveaxis(d_rgb, -1, 0), d_depth[None]], axis=0
@@ -453,14 +450,14 @@ def _bwd(height, width, tile_h, tile_w, chunk_n, residuals, cts):
         [d_planes, d_t[None], t_final[None], v[None]], axis=0
     )
     grads = _rasterize_bwd_impl(
-        pair_rows, tile_offsets, tile_counts, ct_planes, height, width,
-        tile_h, tile_w, chunk_n,
+        pair_blocks, tile_offsets_blk, tile_counts, ct_planes, height, width,
+        tile_h, tile_w,
     )
     covered = (
-        jnp.arange(pair_rows.shape[0], dtype=jnp.int32) < tile_offsets[-1]
+        jnp.arange(pair_blocks.shape[0], dtype=jnp.int32) < tile_offsets_blk[-1]
     )
-    grads = jnp.where(covered[:, None], grads, 0.0)
-    d_offsets = np.zeros(tile_offsets.shape, dtype=jax.dtypes.float0)
+    grads = jnp.where(covered[:, None, None], grads, 0.0)
+    d_offsets = np.zeros(tile_offsets_blk.shape, dtype=jax.dtypes.float0)
     d_counts = np.zeros(tile_counts.shape, dtype=jax.dtypes.float0)
     return grads, d_offsets, d_counts
 
@@ -468,13 +465,17 @@ def _bwd(height, width, tile_h, tile_w, chunk_n, residuals, cts):
 rasterize_pairs.defvjp(_fwd, _bwd)
 
 
-def quadratic_coeffs(means2d: jnp.ndarray, conics: jnp.ndarray) -> jnp.ndarray:
+def quadratic_coeffs(
+    means2d: jnp.ndarray, conics: jnp.ndarray, opacities: jnp.ndarray
+) -> jnp.ndarray:
     """Per-gaussian quadratic exponent coefficients (G, 6): power(px) =
-    a0 + ax*x + ay*y + axx*x^2 + axy*x*y + ayy*y^2. Differentiable — the
-    kernel returns d/d_coeffs and autodiff maps back to means/conics."""
+    a0 + ax*x + ay*y + axx*x^2 + axy*x*y + ayy*y^2, with log(opacity) folded
+    into a0 so alpha = exp(min(power, 0)) clamped. Differentiable — the
+    kernel returns d/d_coeffs and autodiff maps back to means/conics/op."""
     mx, my = means2d[:, 0], means2d[:, 1]
     ca, cb, cc = conics[:, 0], conics[:, 1], conics[:, 2]
-    a0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
+    log_op = jnp.log(jnp.maximum(opacities, 1e-12))
+    a0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my + log_op
     ax = ca * mx + cb * my
     ay = cc * my + cb * mx
     axx = -0.5 * ca

@@ -70,25 +70,26 @@ def test_binning_covers_projected_gaussians():
     means, scales, quats, opac, sh = _scene(50)
     cam = _camera(width=256, height=64)
     proj = project_gaussians(means, scales, quats, opac, sh, cam)
+    ng = 50
     b = bin_gaussians(
         proj.means2d, proj.radii, proj.depths, 256, 64,
-        tile_w=128, tile_h=16, max_tiles_per_gaussian=8,
+        tile_w=128, tile_h=16, max_tiles_per_gaussian=8, chunk=128,
     )
-    offs = np.asarray(b.tile_offsets)
+    offs = np.asarray(b.tile_offsets_blk)
     counts = np.asarray(b.tile_counts)
     assert counts.sum() == int(np.asarray(b.num_pairs))
+    assert int(b.overflow_cap) == 0
     assert (np.diff(offs) >= 0).all()
-    assert (offs % 256 == 0).all()  # aligned segments
-    gid = np.asarray(b.pair_gaussian)
-    valid = np.asarray(b.pair_valid)
+    gid = np.asarray(b.pair_ids).reshape(-1)
     m2d = np.asarray(proj.means2d)
     r = np.asarray(proj.radii)
     d = np.asarray(proj.depths)
     ntx = 2
     for t in range(len(offs) - 1):
-        lo, n = offs[t], counts[t]
-        assert valid[lo : lo + n].all()
-        assert not valid[lo + n : offs[t + 1]].any()
+        lo, n = offs[t] * 128, counts[t]
+        # real ids inside the segment, sentinel padding after it
+        assert (gid[lo : lo + n] < ng).all()
+        assert (gid[lo + n : offs[t + 1] * 128] == ng).all()
         ty, tx = divmod(t, ntx)
         for g in gid[lo : lo + n]:
             # gaussian bbox must intersect this tile
@@ -97,6 +98,13 @@ def test_binning_covers_projected_gaussians():
         # depth-sorted within each tile
         seg = d[gid[lo : lo + n]]
         assert (np.diff(seg) >= -1e-6).all()
+    # every pair-block range covers its gaussians' pairs
+    glo = np.asarray(b.gblock_lo)
+    ghi = np.asarray(b.gblock_hi)
+    for p, g in enumerate(gid):
+        if g < ng:
+            blk = p // 128
+            assert glo[g // 256] <= blk < ghi[g // 256]
 
 
 def test_pallas_matches_reference_forward():

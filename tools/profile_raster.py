@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gaussreg_tpu.gs.rasterizer.camera import look_at_camera, Camera
+from gaussreg_tpu.gs.rasterizer.camera import look_at_camera
 from gaussreg_tpu.gs.rasterizer.render import render, _gather_pairs
 from gaussreg_tpu.gs.rasterizer.binning import bin_gaussians
 from gaussreg_tpu.gs.rasterizer.project import project_gaussians
@@ -83,9 +83,6 @@ def main():
     means, scales, quats, opac, sh, cam = make_scene()
     width, height = cam.width, cam.height
     n = means.shape[0]
-    valid = jnp.ones(n, bool)
-    camera_static = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
-                     int(cam.width), int(cam.height))
     tile_h, tile_w, mt = 16, 32, 16
     hp = ((height + tile_h - 1) // tile_h) * tile_h
     wp = ((width + tile_w - 1) // tile_w) * tile_w
@@ -111,67 +108,73 @@ def main():
     proj = jax.jit(lambda m: project_gaussians(m, scales, quats, opac, sh, cam))(means)
     proj = jax.tree.map(lambda x: jax.device_put(x), proj)
 
-    # --- stage: binning alone
+    # --- stage: binning alone (materialize pair ids)
     def bin_only(i):
         b = bin_gaussians(proj.means2d + 1e-6 * i, proj.radii, proj.depths,
                           wp, hp, tile_w=tile_w, tile_h=tile_h,
-                          max_tiles_per_gaussian=mt, align=kernels.CHUNK)
-        return (b.tile_offsets[-1] + b.num_pairs).astype(jnp.float32)
-    timed_slope("binning", bin_only)
+                          max_tiles_per_gaussian=mt, chunk=kernels.CHUNK)
+        return (b.pair_ids[:, 0].sum() + b.tile_offsets_blk[-1]
+                + b.gblock_lo.sum()).astype(jnp.float32)
+    timed_slope("binning (materialized)", bin_only)
 
     binning = jax.jit(functools.partial(
         bin_gaussians, width=wp, height=hp, tile_w=tile_w, tile_h=tile_h,
-        max_tiles_per_gaussian=mt, align=kernels.CHUNK))(
+        max_tiles_per_gaussian=mt, chunk=kernels.CHUNK))(
         proj.means2d, proj.radii, proj.depths)
-    print(f"  pairs={int(binning.num_pairs)} aligned_len={int(binning.tile_offsets[-1])} cap={binning.pair_gaussian.shape[0]} overflow={int(binning.overflow)}")
+    print(f"  pairs={int(binning.num_pairs)} blocks={int(binning.tile_offsets_blk[-1])}"
+          f" cap_blocks={binning.pair_ids.shape[0]} overflow={int(binning.overflow)}"
+          f" acc_visits={int(jnp.sum(binning.gblock_hi - binning.gblock_lo))}")
 
-    # --- stage: gdata build + pair gather fwd
-    g = n
+    # --- stage: gdata build + pair gather fwd (materialized blocks)
     def make_gdata(i):
-        gdata = jnp.concatenate([
-            kernels.quadratic_coeffs(proj.means2d + 1e-6 * i, proj.conics),
-            proj.opacities[:, None], proj.colors, proj.depths[:, None],
-        ], axis=1)
-        return jnp.pad(gdata, ((0, 1), (0, kernels.NCHAN - gdata.shape[1])))
-
-    pids = jnp.where(binning.pair_valid, binning.pair_gaussian, g)
+        coeffs = kernels.quadratic_coeffs(
+            proj.means2d + 1e-6 * i, proj.conics, proj.opacities)
+        z2 = jnp.zeros((n, 2), jnp.float32)
+        gdata = jnp.concatenate(
+            [coeffs, z2, proj.colors, proj.depths[:, None], z2, z2], axis=1)
+        sent = jnp.zeros((1, kernels.NCHAN), jnp.float32).at[0, 0].set(-1e30)
+        return jnp.concatenate([gdata, sent], axis=0)
 
     def gather_fwd(i):
-        rows = _gather_pairs(make_gdata(i), pids, binning.pair_positions)
-        return rows.sum()
-    timed_slope("gdata+gather fwd", gather_fwd)
+        blocks = _gather_pairs(make_gdata(i), binning.pair_ids,
+                               binning.gblock_lo, binning.gblock_hi)
+        return blocks[:, 0, :].sum()
+    timed_slope("gdata+gather fwd (materialized)", gather_fwd)
 
     def gather_bwd(i):
         def f(m2d):
-            gdata = jnp.concatenate([
-                kernels.quadratic_coeffs(m2d, proj.conics),
-                proj.opacities[:, None], proj.colors, proj.depths[:, None],
-            ], axis=1)
-            gdata = jnp.pad(gdata, ((0, 1), (0, kernels.NCHAN - gdata.shape[1])))
-            rows = _gather_pairs(gdata, pids, binning.pair_positions)
-            return rows.sum()
+            coeffs = kernels.quadratic_coeffs(m2d, proj.conics, proj.opacities)
+            z2 = jnp.zeros((n, 2), jnp.float32)
+            gdata = jnp.concatenate(
+                [coeffs, z2, proj.colors, proj.depths[:, None], z2, z2], axis=1)
+            sent = jnp.zeros((1, kernels.NCHAN), jnp.float32).at[0, 0].set(-1e30)
+            gdata = jnp.concatenate([gdata, sent], axis=0)
+            blocks = _gather_pairs(gdata, binning.pair_ids,
+                                   binning.gblock_lo, binning.gblock_hi)
+            return blocks.sum()
         return jax.grad(f)(proj.means2d + 1e-6 * i).sum()
-    timed_slope("gdata+gather fwd+bwd", gather_bwd)
+    timed_slope("gdata+gather fwd+bwd (accum kernel)", gather_bwd)
 
-    # --- stage: pallas kernels on fixed pair rows
+    # --- stage: pallas kernels on fixed pair blocks
     gdata0 = jax.jit(make_gdata)(0)
-    pair_rows = jax.jit(lambda gd: gd[pids])(gdata0)
+    pair_blocks = jax.jit(lambda gd: _gather_pairs(
+        gd, binning.pair_ids, binning.gblock_lo, binning.gblock_hi))(gdata0)
 
-    def pallas_fwd(i, pr):
+    def pallas_fwd(i, pb):
         rgb, depth, t = kernels.rasterize_pairs(
-            pr + 1e-9 * i, binning.tile_offsets, binning.tile_counts,
+            pb + 1e-9 * i, binning.tile_offsets_blk, binning.tile_counts,
             hp, wp, tile_h, tile_w)
         return rgb.sum() + t.sum()
-    timed_slope("pallas fwd kernel", pallas_fwd, big_args=(pair_rows,))
+    timed_slope("pallas fwd kernel", pallas_fwd, big_args=(pair_blocks,))
 
-    def pallas_bwd(i, pr0):
-        def f(pr):
+    def pallas_bwd(i, pb0):
+        def f(pb):
             rgb, depth, t = kernels.rasterize_pairs(
-                pr, binning.tile_offsets, binning.tile_counts,
+                pb, binning.tile_offsets_blk, binning.tile_counts,
                 hp, wp, tile_h, tile_w)
             return rgb.sum() + t.sum()
-        return jax.grad(f)(pr0 + 1e-9 * i).sum()
-    timed_slope("pallas fwd+bwd kernels", pallas_bwd, big_args=(pair_rows,))
+        return jax.grad(f)(pb0 + 1e-9 * i).sum()
+    timed_slope("pallas fwd+bwd kernels", pallas_bwd, big_args=(pair_blocks,))
 
     # --- full render fwd
     def full_fwd(i):
