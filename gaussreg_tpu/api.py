@@ -17,6 +17,7 @@ from gaussreg_tpu.gs.extract import (
     adjust_point_cloud_volume,
     load_point_cloud_from_gs_ply,
 )
+from gaussreg_tpu.gs.cameras import find_cameras_json, load_cameras_json
 from gaussreg_tpu.gs.fine_registration import (
     default_cameras,
     fine_register,
@@ -60,6 +61,8 @@ def register_gs_pair(
     fine: bool = False,
     fine_steps: int = 100,
     max_fine_gaussians: int = 200000,
+    cameras_json: Optional[str] = None,
+    fine_views: int = 4,
     seed: int = 0,
 ) -> Dict:
     """Register two 3DGS .ply models: returns {'transform': (4, 4) similarity
@@ -116,7 +119,18 @@ def register_gs_pair(
     if fine:
         ref_g = to_device_gaussians(load_gaussians(ref_ply_path), max_fine_gaussians)
         src_g = to_device_gaussians(load_gaussians(src_ply_path), max_fine_gaussians)
-        cams = default_cameras(np.asarray(ref_g.means), num_views=4)
+        # real training viewpoints when a cameras.json is available (given or
+        # found next to the ref model — the fine render must compare views of
+        # the REF frame, so ref's cameras are the right ones); synthetic
+        # orbit fallback otherwise
+        cams_path = cameras_json or find_cameras_json(ref_ply_path)
+        if cams_path is not None:
+            cams = load_cameras_json(
+                cams_path, max_cameras=fine_views, max_size=640
+            )
+            result["fine_cameras"] = cams_path
+        else:
+            cams = default_cameras(np.asarray(ref_g.means), num_views=fine_views)
         fine_out = fine_register(
             ref_g, src_g, transform, cams, num_steps=fine_steps
         )

@@ -12,19 +12,26 @@ Key ideas (TPU-native; see SURVEY.md §7.2 step 6):
   a log-space *prefix sum*, computed as a strictly-lower-triangular (K, K)
   matmul on the MXU — the only sequential dependency left is one (1, NPIX)
   carry per chunk;
-- pair data lives in HBM CHANNEL-MAJOR as (num_blocks, 16, CHUNK) f32 blocks.
-  With only ~12 live channels, a pair-major (P, 128) layout wastes 8x HBM
-  capacity and bandwidth (TPU pads the minor dim to 128 lanes); the
-  channel-major block layout is dense, and every kernel matmul consumes it
-  directly (contracting the 8-sublane or 4-sublane channel axis) with no
-  in-kernel transposes.
+- pair data lives in HBM CHANNEL-MAJOR as (num_blocks, 16, CHUNK) f32 blocks
+  built by one XLA row-gather from the (G, 16) per-gaussian table at the
+  depth-sorted pair ids (binning.py). With only ~12 live channels, a
+  pair-major (P, 128) layout would waste 8x HBM capacity and bandwidth (TPU
+  pads the minor dim to 128 lanes); the channel-major layout is dense, and
+  every kernel matmul consumes it directly (contracting the 8-sublane or
+  4-sublane channel axis) with no in-kernel transposes;
+- the pair layout is UNALIGNED: tile t's pairs occupy sorted elements
+  [starts[t], starts[t+1]) and a boundary block can be shared by two tiles.
+  The kernels row-mask foreign rows (masked alpha = 0 composites to a
+  no-op), so no realignment gather/scatter is ever needed (binning.py).
 
 The backward runs in forward order (prefix recomputation): suffix color
 inner products come from <d, S_j> = <d, final_rgb> - <d, prefix_j>.
-Per-pair gradient blocks are written out chunk-by-chunk (atomics-free);
-accumulation onto gaussians is a one-hot-matmul Pallas kernel (see accum.py),
-and the chain from the quadratic coefficients back to means2d/conics/opacity
-is ordinary autodiff outside the kernel.
+Per-pair gradient blocks are written chunk-by-chunk into a PRIVATE
+block-aligned layout (tile t's chunk k lands at block start_blk[t] + t + k,
+so two tiles never DMA the same block — atomics-free). Accumulation onto
+gaussians is one XLA row-gather through the (G, mt) position table from
+binning plus a slot-axis sum; the chain from the quadratic coefficients back
+to means2d/conics/opacity is ordinary autodiff outside the kernel.
 
 Pair channel layout (16 sublanes per block):
   0..5: quadratic coeffs [a0 + log(op), ax, ay, axx, axy, ayy]
@@ -96,15 +103,26 @@ def _chunk_alpha(coeffs, phi, rowmask):
     return alpha, raw
 
 
-def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
-    npix = tile_h * tile_w
+def _segment(starts_ref, t, chunk_n, cap):
+    """Clamped element range + block walk for tile t."""
+    c0 = jnp.minimum(starts_ref[t], cap)
+    c1 = jnp.minimum(starts_ref[t + 1], cap)
+    n = c1 - c0
+    start_blk = jax.lax.div(c0, chunk_n)
+    num_chunks = jnp.where(
+        n > 0, jax.lax.div(c1 - 1, chunk_n) - start_blk + 1, 0
+    )
+    return c0, c1, start_blk, num_chunks
 
-    def kernel(offsets_ref, counts_ref, pair_ref, out_ref, chunk, sem, rgb_acc, t_row):
+
+def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int, nblk: int):
+    npix = tile_h * tile_w
+    cap = nblk * chunk_n
+
+    def kernel(starts_ref, pair_ref, out_ref, chunk, sem, rgb_acc, t_row):
         # rgb_acc rows: 0..3 = r, g, b, depth accumulators; row 4 = final T
         t = pl.program_id(0)
-        start_blk = offsets_ref[t]  # block units
-        n = counts_ref[t]
-        num_chunks = jax.lax.div(n + chunk_n - 1, chunk_n)
+        c0, c1, start_blk, num_chunks = _segment(starts_ref, t, chunk_n, cap)
 
         phi = _phi_and_masks(t, ntx, tile_h, tile_w)
         l_strict, _ = _tri_matrices(chunk_n)
@@ -133,7 +151,8 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
 
             get_dma(slot, k).wait()
             coeffs = chunk[slot]  # (NCHAN, K) channel-major
-            rowmask = (row_ids < (n - k * chunk_n)).astype(jnp.float32)
+            gpos = (start_blk + k) * chunk_n + row_ids  # global element ids
+            rowmask = ((gpos >= c0) & (gpos < c1)).astype(jnp.float32)
             alpha, _ = _chunk_alpha(coeffs, phi, rowmask)
 
             lg = jnp.log1p(-alpha)
@@ -170,22 +189,21 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
     return kernel
 
 
-def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
+def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int, nblk: int):
     npix = tile_h * tile_w
+    cap = nblk * chunk_n
 
     def kernel(
-        offsets_ref, counts_ref, pair_ref, ct_ref, grad_out_ref,
+        starts_ref, pair_ref, ct_ref, grad_out_ref,
         chunk, gchunk, sem, gsem, t_row, vp_row,
     ):
         # ct_ref block: (1, 7, NPIX) = [d_r, d_g, d_b, d_depth, d_T,
         # T_final, v] with v = sum over the 4 color channels of
-        # d_ch * final_ch. Per-pair gradient blocks (NCHAN, K) are written
-        # out chunk-by-chunk; accumulation onto gaussians is the one-hot
-        # matmul kernel in accum.py (no VMEM cap on gaussian count).
+        # d_ch * final_ch. Per-pair gradient blocks (NCHAN, K) go to the
+        # PRIVATE aligned layout: tile t's chunk k at block
+        # start_blk + t + k (no block is ever shared between tiles).
         t = pl.program_id(0)
-        start_blk = offsets_ref[t]
-        n = counts_ref[t]
-        num_chunks = jax.lax.div(n + chunk_n - 1, chunk_n)
+        c0, c1, start_blk, num_chunks = _segment(starts_ref, t, chunk_n, cap)
 
         phi = _phi_and_masks(t, ntx, tile_h, tile_w)
         l_strict, l_incl = _tri_matrices(chunk_n)
@@ -206,7 +224,9 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
 
         def out_dma(slot, k):
             return pltpu.make_async_copy(
-                gchunk.at[slot], grad_out_ref.at[start_blk + k], gsem.at[slot]
+                gchunk.at[slot],
+                grad_out_ref.at[start_blk + t + k],
+                gsem.at[slot],
             )
 
         @pl.when(num_chunks > 0)
@@ -229,7 +249,8 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
                 out_dma(slot, k - 2).wait()
 
             coeffs = chunk[slot]  # (NCHAN, K)
-            rowmask = (row_ids < (n - k * chunk_n)).astype(jnp.float32)
+            gpos = (start_blk + k) * chunk_n + row_ids
+            rowmask = ((gpos >= c0) & (gpos < c1)).astype(jnp.float32)
             alpha, raw = _chunk_alpha(coeffs, phi, rowmask)
             colors = coeffs[8:12]  # (4, K): r, g, b, depth
 
@@ -293,8 +314,8 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int):
         def _():
             out_dma(jax.lax.rem(k_end - 2, 2), k_end - 2).wait()
 
-        # early-terminated chunks still own gradient blocks: zero-fill them
-        # (pure DMA, no compute)
+        # early-terminated chunks still own gradient blocks (the position
+        # table points at them): zero-fill (pure DMA, no compute)
         @pl.when(k_end < num_chunks)
         def _():
             gchunk[0] = jnp.zeros((NCHAN, chunk_n), jnp.float32)
@@ -323,24 +344,33 @@ def _image_to_tiles(planes, nty, ntx, tile_h, tile_w):
     return x.transpose(1, 3, 0, 2, 4).reshape(nty * ntx, c, tile_h * tile_w)
 
 
+def _build_pair_blocks(gdata, sorted_gid):
+    """(cap,) ids -> (cap/CHUNK, NCHAN, CHUNK) channel-major blocks.
+
+    gdata is (G + 1, NCHAN) with a sentinel row at index G whose a0 = -1e30
+    (alpha == 0), so invalid/padding pair slots are no-ops downstream."""
+    cap = sorted_gid.shape[0]
+    rows = gdata[sorted_gid]  # (cap, NCHAN)
+    return rows.reshape(cap // CHUNK, CHUNK, NCHAN).transpose(0, 2, 1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "tile_h", "tile_w")
 )
 def _rasterize_fwd_impl(
-    pair_blocks, tile_offsets_blk, tile_counts, height, width, tile_h, tile_w
+    pair_blocks, starts, height, width, tile_h, tile_w
 ):
     chunk_n = pair_blocks.shape[2]
+    nblk = pair_blocks.shape[0]
     ntx = width // tile_w
     nty = height // tile_h
     num_tiles = ntx * nty
     npix = tile_h * tile_w
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, 5, npix), lambda t, offsets, counts: (t, 0, 0)
-        ),
+        out_specs=pl.BlockSpec((1, 5, npix), lambda t, starts: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, NCHAN, chunk_n), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -349,11 +379,11 @@ def _rasterize_fwd_impl(
         ],
     )
     out = pl.pallas_call(
-        _forward_kernel(ntx, tile_h, tile_w, chunk_n),
+        _forward_kernel(ntx, tile_h, tile_w, chunk_n, nblk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, 5, npix), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(tile_offsets_blk, tile_counts, pair_blocks)
+    )(starts, pair_blocks)
     return _tiles_to_image(out, nty, ntx, tile_h, tile_w, 5)
 
 
@@ -361,21 +391,21 @@ def _rasterize_fwd_impl(
     jax.jit, static_argnames=("height", "width", "tile_h", "tile_w")
 )
 def _rasterize_bwd_impl(
-    pair_blocks, tile_offsets_blk, tile_counts, ct_planes, height, width,
-    tile_h, tile_w,
+    pair_blocks, starts, ct_planes, height, width, tile_h, tile_w
 ):
     chunk_n = pair_blocks.shape[2]
+    nblk = pair_blocks.shape[0]
     ntx = width // tile_w
     nty = height // tile_h
     num_tiles = ntx * nty
     npix = tile_h * tile_w
     ct_tiles = _image_to_tiles(ct_planes, nty, ntx, tile_h, tile_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 7, npix), lambda t, offsets, counts: (t, 0, 0)),
+            pl.BlockSpec((1, 7, npix), lambda t, starts: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -388,56 +418,60 @@ def _rasterize_bwd_impl(
         ],
     )
     grads = pl.pallas_call(
-        _backward_kernel(ntx, tile_h, tile_w, chunk_n),
+        _backward_kernel(ntx, tile_h, tile_w, chunk_n, nblk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(pair_blocks.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (nblk + num_tiles, NCHAN, chunk_n), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() != "tpu",
-    )(tile_offsets_blk, tile_counts, pair_blocks, ct_tiles)
+    )(starts, pair_blocks, ct_tiles)
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def rasterize_pairs(
-    pair_blocks,
-    tile_offsets_blk,
-    tile_counts,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def rasterize_gaussians(
+    gdata,
+    sorted_gid,
+    starts,
+    pos,
     height: int,
     width: int,
     tile_h: int = 16,
     tile_w: int = 32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Composite channel-major (gaussian, tile) pair blocks into an image.
+    """Composite per-gaussian channel rows into an image via the sorted
+    (gaussian, tile) pair list from binning.
 
     Args:
-        pair_blocks: (num_blocks, NCHAN, CHUNK) channel-major pair data (see
-            module docstring); tile segments are whole blocks.
-        tile_offsets_blk: (num_tiles + 1,) int32 block-unit segment starts.
-        tile_counts: (num_tiles,) int32 true per-tile pair counts.
+        gdata: (G + 1, NCHAN) per-gaussian channels (module docstring
+            layout); row G is the sentinel (a0 = -1e30).
+        sorted_gid: (cap,) int32 pair ids in (tile, depth) order.
+        starts: (num_tiles + 1,) int32 element offsets of tile segments.
+        pos: (G, mt) int32 private gradient positions (binning.py).
 
     Returns:
         rgb (H, W, 3), depth (H, W), transmittance (H, W).
     """
-    out = _rasterize_fwd_impl(
-        pair_blocks, tile_offsets_blk, tile_counts, height, width, tile_h,
-        tile_w,
-    )
+    pair_blocks = _build_pair_blocks(gdata, sorted_gid)
+    out = _rasterize_fwd_impl(pair_blocks, starts, height, width, tile_h, tile_w)
     return jnp.moveaxis(out[:3], 0, -1), out[3], out[4]
 
 
-def _fwd(pair_blocks, tile_offsets_blk, tile_counts, height, width, tile_h, tile_w):
-    out = _rasterize_fwd_impl(
-        pair_blocks, tile_offsets_blk, tile_counts, height, width, tile_h,
-        tile_w,
-    )
+def _fwd(gdata, sorted_gid, starts, pos, height, width, tile_h, tile_w):
+    pair_blocks = _build_pair_blocks(gdata, sorted_gid)
+    out = _rasterize_fwd_impl(pair_blocks, starts, height, width, tile_h, tile_w)
     rgb = jnp.moveaxis(out[:3], 0, -1)
     depth = out[3]
     t = out[4]
-    return (rgb, depth, t), (pair_blocks, tile_offsets_blk, tile_counts, rgb, depth, t)
+    return (rgb, depth, t), (
+        pair_blocks, starts, pos, gdata.shape[0], sorted_gid.shape[0],
+        rgb, depth, t,
+    )
 
 
 def _bwd(height, width, tile_h, tile_w, residuals, cts):
-    pair_blocks, tile_offsets_blk, tile_counts, rgb_final, depth_final, t_final = residuals
+    pair_blocks, starts, pos, g1, cap, rgb_final, depth_final, t_final = residuals
     d_rgb, d_depth, d_t = cts
     d_planes = jnp.concatenate(
         [jnp.moveaxis(d_rgb, -1, 0), d_depth[None]], axis=0
@@ -450,19 +484,25 @@ def _bwd(height, width, tile_h, tile_w, residuals, cts):
         [d_planes, d_t[None], t_final[None], v[None]], axis=0
     )
     grads = _rasterize_bwd_impl(
-        pair_blocks, tile_offsets_blk, tile_counts, ct_planes, height, width,
-        tile_h, tile_w,
+        pair_blocks, starts, ct_planes, height, width, tile_h, tile_w
     )
-    covered = (
-        jnp.arange(pair_blocks.shape[0], dtype=jnp.int32) < tile_offsets_blk[-1]
+    # accumulate per-pair gradients onto gaussians: one row-gather through
+    # the (G, mt) position table + slot sum. The pos sentinel hits the
+    # appended zero row.
+    grows = grads.transpose(0, 2, 1).reshape(-1, NCHAN)
+    grows = jnp.concatenate([grows, jnp.zeros((1, NCHAN), grows.dtype)])
+    picked = grows[pos]  # (G, mt, NCHAN)
+    d_gdata = jnp.sum(picked, axis=1)  # (G, NCHAN)
+    d_gdata = jnp.pad(d_gdata, ((0, g1 - d_gdata.shape[0]), (0, 0)))
+    return (
+        d_gdata,
+        np.zeros((cap,), dtype=jax.dtypes.float0),
+        np.zeros(starts.shape, dtype=jax.dtypes.float0),
+        np.zeros(pos.shape, dtype=jax.dtypes.float0),
     )
-    grads = jnp.where(covered[:, None, None], grads, 0.0)
-    d_offsets = np.zeros(tile_offsets_blk.shape, dtype=jax.dtypes.float0)
-    d_counts = np.zeros(tile_counts.shape, dtype=jax.dtypes.float0)
-    return grads, d_offsets, d_counts
 
 
-rasterize_pairs.defvjp(_fwd, _bwd)
+rasterize_gaussians.defvjp(_fwd, _bwd)
 
 
 def quadratic_coeffs(

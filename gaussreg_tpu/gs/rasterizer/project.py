@@ -112,7 +112,14 @@ def project_gaussians(
     mid = 0.5 * (a + c)
     eig_gap = jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
     lambda1 = mid + eig_gap
-    radii = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+    # opacity-aware radius: alpha = op * exp(-r^2 / (2 lambda1)) drops below
+    # the rasterizer's 1/255 cutoff at r = sqrt(2 ln(255 op)) sigma_max;
+    # min with the classic 3-sigma bound. Low-opacity gaussians get smaller
+    # footprints, cutting (gaussian, tile) pair count with zero visual loss.
+    nsigma = jnp.minimum(
+        3.0, jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1.001)))
+    )
+    radii = jnp.ceil(nsigma * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
 
     # view-dependent color
     cam_center = camera.cam_center
@@ -122,7 +129,9 @@ def project_gaussians(
         sh_mod.eval_sh(sh_degree, sh_coeffs, dirs) + 0.5, 0.0
     )  # (G, 3)
 
-    ok = valid & in_front & (det > 0.0)
+    # alpha <= opacity everywhere, so op < 1/255 can never pass the
+    # rasterizer's alpha cutoff — cull outright
+    ok = valid & in_front & (det > 0.0) & (opacities >= 1.0 / 255.0)
     radii = jnp.where(ok, radii, 0.0)
     return ProjectedGaussians(
         means2d=means2d,

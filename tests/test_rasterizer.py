@@ -71,40 +71,49 @@ def test_binning_covers_projected_gaussians():
     cam = _camera(width=256, height=64)
     proj = project_gaussians(means, scales, quats, opac, sh, cam)
     ng = 50
+    mt = 8
     b = bin_gaussians(
         proj.means2d, proj.radii, proj.depths, 256, 64,
-        tile_w=128, tile_h=16, max_tiles_per_gaussian=8, chunk=128,
+        tile_w=128, tile_h=16, max_tiles_per_gaussian=mt, chunk=128,
     )
-    offs = np.asarray(b.tile_offsets_blk)
+    starts = np.asarray(b.starts)
     counts = np.asarray(b.tile_counts)
-    assert counts.sum() == int(np.asarray(b.num_pairs))
+    num_pairs = int(np.asarray(b.num_pairs))
+    assert counts.sum() == num_pairs
     assert int(b.overflow_cap) == 0
-    assert (np.diff(offs) >= 0).all()
-    gid = np.asarray(b.pair_ids).reshape(-1)
+    assert (np.diff(starts) >= 0).all()
+    gid = np.asarray(b.sorted_gid)
+    pos = np.asarray(b.pos)
     m2d = np.asarray(proj.means2d)
     r = np.asarray(proj.radii)
     d = np.asarray(proj.depths)
     ntx = 2
-    for t in range(len(offs) - 1):
-        lo, n = offs[t] * 128, counts[t]
-        # real ids inside the segment, sentinel padding after it
-        assert (gid[lo : lo + n] < ng).all()
-        assert (gid[lo + n : offs[t + 1] * 128] == ng).all()
+    num_tiles = len(starts) - 1
+    # valid prefix holds real ids, the tail is sentinel padding
+    assert (gid[:num_pairs] < ng).all()
+    assert (gid[num_pairs:] == ng).all()
+    priv_seen = set()
+    for t in range(num_tiles):
+        lo, hi = starts[t], starts[t + 1]
         ty, tx = divmod(t, ntx)
-        for g in gid[lo : lo + n]:
+        for g in gid[lo:hi]:
             # gaussian bbox must intersect this tile
             assert m2d[g, 0] + r[g] >= tx * 128 and m2d[g, 0] - r[g] <= (tx + 1) * 128
             assert m2d[g, 1] + r[g] >= ty * 16 and m2d[g, 1] - r[g] <= (ty + 1) * 16
         # depth-sorted within each tile
-        seg = d[gid[lo : lo + n]]
+        seg = d[gid[lo:hi]]
         assert (np.diff(seg) >= -1e-6).all()
-    # every pair-block range covers its gaussians' pairs
-    glo = np.asarray(b.gblock_lo)
-    ghi = np.asarray(b.gblock_hi)
-    for p, g in enumerate(gid):
-        if g < ng:
-            blk = p // 128
-            assert glo[g // 256] <= blk < ghi[g // 256]
+        # every pair's private gradient position is p + t*128, present in
+        # its gaussian's row of the position table, and globally unique
+        for p in range(lo, hi):
+            want = p + t * 128
+            assert want in pos[gid[p]], (t, p)
+            assert want not in priv_seen
+            priv_seen.add(want)
+    # unused table slots hold the sentinel; total real slots == num_pairs
+    priv_cap = (gid.shape[0] // 128 + num_tiles) * 128
+    assert (pos[pos != priv_cap] >= 0).all()
+    assert (pos != priv_cap).sum() == num_pairs
 
 
 def test_pallas_matches_reference_forward():

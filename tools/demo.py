@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--point_limit", type=int, default=30000)
     parser.add_argument("--fine", action="store_true", help="render-and-compare refinement")
     parser.add_argument("--fine_steps", type=int, default=100)
+    parser.add_argument(
+        "--cameras_json", default=None,
+        help="3DGS cameras.json with real viewpoints for --fine "
+        "(default: auto-detected next to --ref)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -59,6 +64,7 @@ def main():
         point_limit=args.point_limit,
         fine=args.fine,
         fine_steps=args.fine_steps,
+        cameras_json=args.cameras_json,
     )
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -25,7 +25,14 @@ def main():
     parser.add_argument("--weights", default=None)
     parser.add_argument("--output_path", default="eval_outputs")
     parser.add_argument("--num_sample", type=int, default=30000)
-    parser.add_argument("--fine", action="store_true")
+    parser.add_argument(
+        "--fine", action="store_true",
+        help="refine each coarse estimate by render-and-compare using the "
+        "scene's real cameras.json viewpoints",
+    )
+    parser.add_argument("--fine_steps", type=int, default=100)
+    parser.add_argument("--fine_views", type=int, default=4)
+    parser.add_argument("--max_fine_gaussians", type=int, default=200000)
     parser.add_argument("--limit_scenes", type=int, default=None)
     args = parser.parse_args()
 
@@ -42,6 +49,15 @@ def main():
     )
     from gaussreg_tpu.models.metrics import unnormalize_transform
     from gaussreg_tpu.models.registration import create_model
+
+    if args.fine:
+        from gaussreg_tpu.gs.cameras import find_cameras_json, load_cameras_json
+        from gaussreg_tpu.gs.fine_registration import (
+            default_cameras,
+            fine_register,
+            to_device_gaussians,
+        )
+        from gaussreg_tpu.gs.ply import load_gaussians
 
     cfg = make_cfg()
     model = create_model(cfg)
@@ -99,6 +115,40 @@ def main():
             np.asarray(out["estimated_transform"]),
             ref_scale, src_scale, ref_center, src_center,
         )
+
+        if args.fine:
+            # render-and-compare refinement in the RAW ply frames (that's
+            # where the cameras.json poses live): est maps the frame-aligned
+            # clouds, so raw_B -> raw_A is inv(ref_T) @ est @ src_T
+            ref_t44 = np.eye(4, dtype=np.float64)
+            ref_t44[:3, :4] = np.asarray(ref_list[scene])[:3, :4]
+            src_t44 = np.eye(4, dtype=np.float64)
+            src_t44[:3, :4] = np.asarray(src_list[scene])[:3, :4]
+            t_raw = np.linalg.inv(ref_t44) @ est.astype(np.float64) @ src_t44
+            ref_g = to_device_gaussians(
+                load_gaussians(ref_ply), args.max_fine_gaussians
+            )
+            src_g = to_device_gaussians(
+                load_gaussians(src_ply), args.max_fine_gaussians
+            )
+            cams_path = find_cameras_json(ref_ply)
+            if cams_path is not None:
+                cams = load_cameras_json(
+                    cams_path, max_cameras=args.fine_views, max_size=640
+                )
+            else:
+                cams = default_cameras(
+                    np.asarray(ref_g.means), num_views=args.fine_views
+                )
+            fine_out = fine_register(
+                ref_g, src_g, t_raw.astype(np.float32), cams,
+                num_steps=args.fine_steps,
+            )
+            t_fine = np.asarray(fine_out.transform, np.float64)
+            est = (ref_t44 @ t_fine @ np.linalg.inv(src_t44)).astype(
+                np.float32
+            )
+
         estimated[str(scene)] = est
 
         # metrics against the ORIGINAL-frame gt (reference test.py:196-198)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from gaussreg_tpu.gs.rasterizer.camera import look_at_camera
-from gaussreg_tpu.gs.rasterizer.render import render, _gather_pairs
+from gaussreg_tpu.gs.rasterizer.render import render
 from gaussreg_tpu.gs.rasterizer.binning import bin_gaussians
 from gaussreg_tpu.gs.rasterizer.project import project_gaussians
 from gaussreg_tpu.gs.rasterizer import kernels
@@ -108,22 +108,23 @@ def main():
     proj = jax.jit(lambda m: project_gaussians(m, scales, quats, opac, sh, cam))(means)
     proj = jax.tree.map(lambda x: jax.device_put(x), proj)
 
-    # --- stage: binning alone (materialize pair ids)
+    # --- stage: binning alone (materialize sorted ids + pos table)
     def bin_only(i):
         b = bin_gaussians(proj.means2d + 1e-6 * i, proj.radii, proj.depths,
                           wp, hp, tile_w=tile_w, tile_h=tile_h,
                           max_tiles_per_gaussian=mt, chunk=kernels.CHUNK)
-        return (b.pair_ids[:, 0].sum() + b.tile_offsets_blk[-1]
-                + b.gblock_lo.sum()).astype(jnp.float32)
-    timed_slope("binning (materialized)", bin_only)
+        return (b.sorted_gid[::4096].sum() + b.starts[-1]
+                + b.pos[::997, 0].sum()).astype(jnp.float32)
+    timed_slope("binning (sort-based, materialized)", bin_only)
 
     binning = jax.jit(functools.partial(
         bin_gaussians, width=wp, height=hp, tile_w=tile_w, tile_h=tile_h,
         max_tiles_per_gaussian=mt, chunk=kernels.CHUNK))(
         proj.means2d, proj.radii, proj.depths)
-    print(f"  pairs={int(binning.num_pairs)} blocks={int(binning.tile_offsets_blk[-1])}"
-          f" cap_blocks={binning.pair_ids.shape[0]} overflow={int(binning.overflow)}"
-          f" acc_visits={int(jnp.sum(binning.gblock_hi - binning.gblock_lo))}")
+    print(f"  pairs={int(binning.num_pairs)}"
+          f" cap={binning.sorted_gid.shape[0]}"
+          f" overflow={int(binning.overflow)}"
+          f" overflow_cap={int(binning.overflow_cap)}")
 
     # --- stage: gdata build + pair gather fwd (materialized blocks)
     def make_gdata(i):
@@ -136,45 +137,36 @@ def main():
         return jnp.concatenate([gdata, sent], axis=0)
 
     def gather_fwd(i):
-        blocks = _gather_pairs(make_gdata(i), binning.pair_ids,
-                               binning.gblock_lo, binning.gblock_hi)
+        blocks = kernels._build_pair_blocks(make_gdata(i), binning.sorted_gid)
         return blocks[:, 0, :].sum()
-    timed_slope("gdata+gather fwd (materialized)", gather_fwd)
+    timed_slope("gdata+pair-block build fwd", gather_fwd)
 
-    def gather_bwd(i):
-        def f(m2d):
-            coeffs = kernels.quadratic_coeffs(m2d, proj.conics, proj.opacities)
-            z2 = jnp.zeros((n, 2), jnp.float32)
-            gdata = jnp.concatenate(
-                [coeffs, z2, proj.colors, proj.depths[:, None], z2, z2], axis=1)
-            sent = jnp.zeros((1, kernels.NCHAN), jnp.float32).at[0, 0].set(-1e30)
-            gdata = jnp.concatenate([gdata, sent], axis=0)
-            blocks = _gather_pairs(gdata, binning.pair_ids,
-                                   binning.gblock_lo, binning.gblock_hi)
-            return blocks.sum()
-        return jax.grad(f)(proj.means2d + 1e-6 * i).sum()
-    timed_slope("gdata+gather fwd+bwd (accum kernel)", gather_bwd)
+    # --- stage: accumulation gather alone (the VJP's pos-table gather)
+    nblk = binning.sorted_gid.shape[0] // kernels.CHUNK
+    ntiles = (wp // tile_w) * (hp // tile_h)
+    grows0 = jnp.zeros(((nblk + ntiles) * kernels.CHUNK + 1, kernels.NCHAN),
+                       jnp.float32)
+    def accum_only(i, gr):
+        picked = gr[jnp.minimum(binning.pos + i % 2, gr.shape[0] - 1)]
+        return picked.sum(axis=1)[:, 0].sum()
+    timed_slope("accum pos-gather + slot sum", accum_only, big_args=(grows0,))
 
     # --- stage: pallas kernels on fixed pair blocks
     gdata0 = jax.jit(make_gdata)(0)
-    pair_blocks = jax.jit(lambda gd: _gather_pairs(
-        gd, binning.pair_ids, binning.gblock_lo, binning.gblock_hi))(gdata0)
+    pair_blocks = jax.jit(kernels._build_pair_blocks)(gdata0, binning.sorted_gid)
 
     def pallas_fwd(i, pb):
-        rgb, depth, t = kernels.rasterize_pairs(
-            pb + 1e-9 * i, binning.tile_offsets_blk, binning.tile_counts,
-            hp, wp, tile_h, tile_w)
-        return rgb.sum() + t.sum()
+        out = kernels._rasterize_fwd_impl(
+            pb + 1e-9 * i, binning.starts, hp, wp, tile_h, tile_w)
+        return out.sum()
     timed_slope("pallas fwd kernel", pallas_fwd, big_args=(pair_blocks,))
 
-    def pallas_bwd(i, pb0):
-        def f(pb):
-            rgb, depth, t = kernels.rasterize_pairs(
-                pb, binning.tile_offsets_blk, binning.tile_counts,
-                hp, wp, tile_h, tile_w)
-            return rgb.sum() + t.sum()
-        return jax.grad(f)(pb0 + 1e-9 * i).sum()
-    timed_slope("pallas fwd+bwd kernels", pallas_bwd, big_args=(pair_blocks,))
+    ct0 = jnp.ones((7, hp, wp), jnp.float32)
+    def pallas_bwd(i, pb):
+        grads = kernels._rasterize_bwd_impl(
+            pb + 1e-9 * i, binning.starts, ct0, hp, wp, tile_h, tile_w)
+        return grads[::17, 0, :].sum()
+    timed_slope("pallas bwd kernel alone", pallas_bwd, big_args=(pair_blocks,))
 
     # --- full render fwd
     def full_fwd(i):
