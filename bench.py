@@ -1,21 +1,52 @@
 #!/usr/bin/env python
-"""Driver benchmark: GS rasterizer forward+backward throughput.
+"""Driver benchmark. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Primary metric (BASELINE.json): GS rasterizer Mrays/s/chip for a full
+differentiable render (forward + analytic backward through the Pallas tile
+kernels) at 640x480 with a 100k-gaussian scene. `vs_baseline` is
+value / 100.0 — CUDA-class 3DGS rasterizers achieve O(100) Mrays/s fwd+bwd
+at this scale (the reference repo publishes no numbers: BASELINE.md).
 
-Primary metric per BASELINE.json: Mrays/s/chip for a full differentiable
-render (forward + analytic backward through the Pallas tile kernels) at
-640x480 with a 100k-gaussian scene. `vs_baseline` is value / 100.0 — the
-reference CUDA 3DGS rasterizer class of hardware achieves O(100) Mrays/s
-fwd+bwd at this resolution (no number is published in the reference repo
-itself: BASELINE.md), so 1.0 means CUDA-class parity.
+`extra.registration_pairs_per_s` is the second north-star metric: coarse
+registrations/s at full 30720-point capacity.
+
+Timing: R reps run inside one jitted fori_loop with per-iteration input
+perturbation; a scalar is host-materialized and per-rep time is the slope
+between two rep counts. This cancels the ~30 ms/call RTT of the remote-TPU
+transport (and its response memoization) without hiding any device work —
+see PERF.md.
 """
 
 import json
 import time
 
 
-def main():
+def _slope(fn, big, r_lo, r_hi, n_meas=3):
+    import jax
+    import jax.numpy as jnp
+
+    def looped(big, R):
+        def body(i, acc):
+            return acc + fn(i, *big)
+        return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+
+    f = jax.jit(looped, static_argnames="R")
+    float(f(big, R=r_lo))
+    float(f(big, R=r_hi))
+
+    def meas(R):
+        ts = []
+        for _ in range(n_meas):
+            t0 = time.time()
+            float(f(big, R=R))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    return (meas(r_hi) - meas(r_lo)) / (r_hi - r_lo)
+
+
+def bench_rasterizer():
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,7 +71,6 @@ def main():
         eye=[0, 0, -4.0], target=[0, 0, 0], up=[0, 1, 0],
         fov_deg=60, width=width, height=height,
     )
-
     use_pallas = jax.default_backend() == "tpu"
 
     def loss(m, s, q, o, c):
@@ -49,23 +79,56 @@ def main():
         )
         return out.rgb.sum() + out.transmittance.sum()
 
-    def gsum(*a):
-        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*a)
+    def one(i, m, s, q, o, c):
+        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(m + 1e-6 * i, s, q, o, c)
         return sum(jnp.sum(x) for x in g)
 
-    gfn = jax.jit(gsum)
-    args = (means, scales, quats, opac, sh)
-    # warm-up/compile; float() forces host materialization — under remote
-    # TPU transports block_until_ready alone does not guarantee completion
-    float(gfn(*args))
-    reps = 6
-    t0 = time.time()
-    for i in range(reps):
-        # perturb one input so no layer can cache identical requests
-        float(gfn(means + 1e-6 * i, *args[1:]))
-    dt = (time.time() - t0) / reps
+    dt = _slope(one, (means, scales, quats, opac, sh), r_lo=2, r_hi=8)
+    return width * height / dt / 1e6
 
-    mrays = width * height / dt / 1e6
+
+def bench_registration():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussreg_tpu.config import make_cfg
+    from gaussreg_tpu.data.pipeline import make_pair_batch
+    from gaussreg_tpu.data.synthetic import random_pair
+    from gaussreg_tpu.models.registration import create_model
+
+    cfg = make_cfg()
+    model = create_model(cfg)
+    rp, rf, sp, sf, m = random_pair(cfg, 0, num_points=cfg.train.point_limit)
+    batch = make_pair_batch(cfg, rp, rf, sp, sf, m)
+    init = jax.jit(
+        lambda k, b: model.init(
+            {"params": k, "sample": k, "ransac": k}, b, train=False,
+            with_transform=False,
+        )
+    )
+    params = init(jax.random.PRNGKey(0), batch)
+
+    def one(i, batch, params):
+        out = model.apply(
+            params, batch, train=False, with_transform=True,
+            rngs={"ransac": jax.random.fold_in(jax.random.PRNGKey(0), i)},
+        )
+        return jnp.sum(out["estimated_transform"])
+
+    dt = _slope(one, (batch, params), r_lo=1, r_hi=3, n_meas=2)
+    return 1.0 / dt
+
+
+def main():
+    mrays = bench_rasterizer()
+    try:
+        pairs_s = bench_registration()
+    except Exception as e:  # registration bench must never sink the primary
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        pairs_s = None
     print(
         json.dumps(
             {
@@ -73,6 +136,12 @@ def main():
                 "value": round(mrays, 2),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / 100.0, 4),
+                "extra": {
+                    "registration_pairs_per_s": (
+                        round(pairs_s, 3) if pairs_s else None
+                    ),
+                    "registration_capacity_points": 30720,
+                },
             }
         )
     )

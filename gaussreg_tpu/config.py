@@ -148,6 +148,13 @@ class OptimConfig:
     weight_decay: float = 1e-6
     max_epoch: int = 40
     grad_acc_steps: int = 1
+    # LR schedule: "step" (the GaussReg experiment's per-epoch exponential
+    # decay, reference trainval.py:34) or "cosine" (the library's
+    # warmup-cosine, reference utils/torch.py:154-178)
+    scheduler: str = "step"
+    warmup_steps: int = 0
+    eta_init: float = 0.1
+    eta_min: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)

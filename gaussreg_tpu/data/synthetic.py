@@ -83,10 +83,28 @@ def random_pair(
         axis=1,
     )
 
-    # ref = subset of scene; src = (possibly different) subset, transformed
-    n_keep = int(n * overlap)
-    ref_sel = rng.permutation(n)[:n_keep]
-    src_sel = rng.permutation(n)[:n_keep]
+    # ref/src = two partially-overlapping spatial crops of the scene (two
+    # scans from different viewpoints), plus independent point subsampling.
+    # `overlap` sets the shared fraction: each view keeps points on its side
+    # of a random plane shifted so ~overlap of the scene is seen by both.
+    centered = pts - pts.mean(0)
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis) + 1e-9
+    proj = centered @ axis
+    lo, hi = np.quantile(proj, [0.02, 0.98])
+    margin = (hi - lo) * (1.0 - overlap) * 0.5
+    ref_zone = proj <= hi - margin
+    src_zone = proj >= lo + margin
+    n_keep = int(n * 0.8)
+
+    def pick(zone):
+        idx = np.flatnonzero(zone)
+        if idx.shape[0] > n_keep:
+            idx = idx[rng.permutation(idx.shape[0])[:n_keep]]
+        return idx
+
+    ref_sel = pick(ref_zone)
+    src_sel = pick(src_zone)
     ref_points = pts[ref_sel].astype(np.float32)
     ref_feats = feats[ref_sel]
 

@@ -35,15 +35,36 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int, world_size: int = 1):
-    """Adam + per-epoch exponential decay + L2 weight decay, lr scaled by
-    world size (reference trainval.py:32-35, base_trainer.py:189-194,
-    config.py:67-74)."""
-    schedule = optax.exponential_decay(
-        init_value=cfg.optim.lr * world_size,
-        transition_steps=max(1, steps_per_epoch * cfg.optim.lr_decay_steps),
-        decay_rate=cfg.optim.lr_decay,
-        staircase=True,
-    )
+    """Adam + LR schedule + L2 weight decay, lr scaled by world size
+    (reference trainval.py:32-35, base_trainer.py:189-194, config.py:67-74).
+
+    Schedules: per-epoch exponential step decay (the experiment default) or
+    warmup-cosine (reference utils/torch.py:154-178: linear eta_init -> 1
+    over warmup_steps, then cosine 1 -> eta_min over the rest)."""
+    peak = cfg.optim.lr * world_size
+    if cfg.optim.scheduler == "cosine":
+        total = max(1, steps_per_epoch * cfg.optim.max_epoch)
+        warmup = min(cfg.optim.warmup_steps, total - 1)
+
+        def schedule(step):
+            warm = peak * (
+                cfg.optim.eta_init
+                + (1.0 - cfg.optim.eta_init) * step / jnp.maximum(warmup, 1)
+            )
+            t = jnp.clip((step - warmup) / jnp.maximum(total - warmup, 1), 0.0, 1.0)
+            cos = peak * (
+                cfg.optim.eta_min
+                + 0.5 * (1.0 - cfg.optim.eta_min) * (1.0 + jnp.cos(jnp.pi * t))
+            )
+            return jnp.where(step < warmup, warm, cos)
+
+    else:
+        schedule = optax.exponential_decay(
+            init_value=peak,
+            transition_steps=max(1, steps_per_epoch * cfg.optim.lr_decay_steps),
+            decay_rate=cfg.optim.lr_decay,
+            staircase=True,
+        )
     tx = optax.chain(
         optax.add_decayed_weights(cfg.optim.weight_decay),
         optax.adam(schedule),
@@ -96,7 +117,18 @@ def _loss_for_pair(model: GaussRegModel, cfg: Config, params, batch: PairBatch, 
     losses = overall_loss(cfg, out, batch.transform)
     losses = dict(losses)
     losses["PIR"] = _coarse_precision(cfg, out)
+    losses["vox_overflow"] = _voxel_overflow(cfg, batch)
     return losses["loss"], losses
+
+
+def _voxel_overflow(cfg: Config, batch: PairBatch) -> jnp.ndarray:
+    """Voxels dropped by the static pyramid capacities (SURVEY.md §7.3 'no
+    silent truncation'): > 0 means cfg.capacity.levels is too small for this
+    data and the pyramid silently subsampled."""
+    over = jnp.zeros((), jnp.int32)
+    for nv, cap in zip(batch.pyramid.num_voxels[1:], cfg.capacity.levels[1:]):
+        over = over + jnp.sum(jnp.maximum(nv - cap, 0))
+    return over
 
 
 def make_train_step(model: GaussRegModel, cfg: Config, tx, mesh=None):
@@ -144,6 +176,7 @@ def make_train_step(model: GaussRegModel, cfg: Config, tx, mesh=None):
             "f_loss": jnp.mean(aux["f_loss"]),
             "PIR": jnp.mean(aux["PIR"]),
             "grad_finite": finite.astype(jnp.float32),
+            "vox_overflow": jnp.sum(aux["vox_overflow"]).astype(jnp.float32),
         }
         return new_state, metrics
 
@@ -178,6 +211,12 @@ def make_eval_step(model: GaussRegModel, cfg: Config):
         metrics = evaluate_registration(
             cfg, batch.transform, out["estimated_transform"], src_points, src_mask
         )
+        metrics = dict(metrics)
+        # capacity overflow accounting (SURVEY.md §7.3): surface, don't hide
+        metrics["vox_overflow"] = _voxel_overflow(cfg, batch).astype(jnp.float32)
+        metrics["corr_overflow"] = jnp.maximum(
+            out["num_correspondences"] - cfg.capacity.max_correspondences, 0
+        ).astype(jnp.float32)
         return out["estimated_transform"], metrics
 
     return eval_step

@@ -79,12 +79,24 @@ class KPConv(nn.Module):
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices):
         k = self.kernel_size
-        kp = jnp.asarray(generate_kernel_points(k) * self.radius)  # (K, 3)
+        # kernel dispositions live in the param tree (zero-gradient via
+        # stop_gradient) so reference torch checkpoints — whose KPConv
+        # registers `kernel_points` as a buffer with a random rotation
+        # applied at instantiation (reference kernel_points.py:428-453) —
+        # can be imported bit-exactly (engine/torch_import.py)
+        kp = self.param(
+            "kernel_points",
+            lambda _key: jnp.asarray(generate_kernel_points(k) * self.radius),
+        )
+        kp = jax.lax.stop_gradient(kp)  # (K, 3)
         weights = self.param(
             "weights",
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             (k, self.in_channels, self.out_channels),
         )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.out_channels,)
+        )  # reference kpconv.py:56,119-120 (bias=True in every block)
 
         # neighbor offsets relative to query (sentinel pushed far away so its
         # kernel influence is exactly 0; reference kpconv.py:91)
@@ -119,7 +131,7 @@ class KPConv(nn.Module):
         # per-query neighbor-count normalization (reference kpconv.py:113-116)
         count = jnp.sum(neighbor_indices != s_points.shape[1], axis=-1)
         out = out / jnp.maximum(count, 1)[..., None].astype(out.dtype)
-        return out
+        return out + bias
 
 
 class MaskedGroupNorm(nn.Module):

@@ -33,6 +33,11 @@ def main():
     parser.add_argument("--log_steps", type=int, default=10)
     parser.add_argument("--val_pairs", type=int, default=64)
     parser.add_argument(
+        "--val_subset", default="test",
+        help="dataset split evaluated each epoch when --data_root is given "
+        "(ScanNet-GSReg ships train/test; reference validates on test)",
+    )
+    parser.add_argument(
         "--synthetic", action="store_true",
         help="train on synthetic pairs (no dataset required; smoke/bench)",
     )
@@ -85,6 +90,7 @@ def main():
     model = create_model(cfg)
 
     # data source
+    val_dataset = None
     if args.synthetic or args.data_root is None:
         logger.info("training on synthetic pairs")
 
@@ -119,6 +125,24 @@ def main():
                     (d["ref_points"], d["ref_feats"], d["src_points"], d["src_feats"], d["transform"])
                     for d in items
                 ]
+
+        # real held-out split for per-epoch validation (reference
+        # epoch_based_trainer.py:134-166 runs the val loader every epoch)
+        try:
+            val_dataset = ScanNetGSRegDataset(
+                args.data_root,
+                args.val_subset,
+                point_limit=cfg.train.point_limit,
+                use_augmentation=False,
+                seed=cfg.seed,
+            )
+            logger.info(
+                f"ScanNet-GSReg {args.val_subset} (validation): "
+                f"{len(val_dataset)} pairs"
+            )
+        except FileNotFoundError as e:
+            logger.info(f"no {args.val_subset} split found ({e}); "
+                        "validating on synthetic pairs")
 
     tx = make_optimizer(cfg, steps_per_epoch, world_size=world)
     rp, rf, sp, sf, m = random_pair(cfg, 0)
@@ -171,13 +195,25 @@ def main():
                 writer.write("train", board.smoothed_summary(), step_count)
             timer.tic("prepare")
 
-        # validation (synthetic holdout or dataset val split)
+        # validation: the dataset's held-out split when available, else a
+        # synthetic holdout
         val_board = SummaryBoard()
-        for i in range(min(args.val_pairs, 16)):
-            rp, rf, sp, sf, m = random_pair(cfg, 10_000_000 + i)
-            vb = make_pair_batch(cfg, rp, rf, sp, sf, m)
-            _, vm = eval_step(state.params, vb, jax.random.PRNGKey(i))
-            val_board.update_from_dict({k: float(v) for k, v in vm.items()})
+        if val_dataset is not None:
+            n_val = min(args.val_pairs, len(val_dataset))
+            for i in range(n_val):
+                d = val_dataset[i]
+                vb = make_pair_batch(
+                    cfg, d["ref_points"], d["ref_feats"],
+                    d["src_points"], d["src_feats"], d["transform"],
+                )
+                _, vm = eval_step(state.params, vb, jax.random.PRNGKey(i))
+                val_board.update_from_dict({k: float(v) for k, v in vm.items()})
+        else:
+            for i in range(min(args.val_pairs, 16)):
+                rp, rf, sp, sf, m = random_pair(cfg, 10_000_000 + i)
+                vb = make_pair_batch(cfg, rp, rf, sp, sf, m)
+                _, vm = eval_step(state.params, vb, jax.random.PRNGKey(i))
+                val_board.update_from_dict({k: float(v) for k, v in vm.items()})
         logger.info(f"epoch {epoch} val: {format_metrics(val_board.summary())}")
         writer.write("val", val_board.summary(), step_count)
 
