@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from gaussreg_tpu.config import Config
 from gaussreg_tpu.ops.subsample import grid_subsample, spatial_sort
-from gaussreg_tpu.ops.neighbors import radius_search
+from gaussreg_tpu.ops.neighbors import grid_radius_search
 
 
 class Pyramid(NamedTuple):
@@ -38,6 +38,9 @@ class Pyramid(NamedTuple):
     # accounting: compare against capacity; see SURVEY.md §7.3)
     perm0: jnp.ndarray  # (B, N0) permutation applied to the level-0 input
     # (Morton sort) — callers must apply it to per-point features
+    search_overflow: jnp.ndarray  # () int32, z-runs truncated by the grid
+    # radius search's run_cap across all levels; > 0 means neighbors may
+    # have been dropped (raise run_cap) — SURVEY §7.3 'no silent truncation'
 
 
 @functools.partial(
@@ -85,29 +88,34 @@ def build_pyramid(
         msks.append(m)
         nvox.append(nv)
 
+    # all searches use the grid-run pruned path (ops/neighbors.py): ~25x
+    # faster than full-width top_k at these sizes; `search_overflow` counts
+    # candidate runs longer than the cap (no silent truncation, SURVEY §7.3)
     neighbors = []
     subsampling = []
     upsampling = []
+    overflow = jnp.zeros((), jnp.int32)
     radius = init_radius
     for lvl in range(num_stages):
-        rs = jax.vmap(
-            lambda q, s, qm, sm, r=radius, k=neighbor_limits[lvl]: radius_search(
-                q, s, qm, sm, r, k
-            )
+        nbr, of = grid_radius_search(
+            pts[lvl], pts[lvl], msks[lvl], msks[lvl], radius,
+            neighbor_limits[lvl],
         )
-        neighbors.append(rs(pts[lvl], pts[lvl], msks[lvl], msks[lvl]))
+        neighbors.append(nbr)
+        overflow += of
         if lvl < num_stages - 1:
-            subsampling.append(
-                rs(pts[lvl + 1], pts[lvl], msks[lvl + 1], msks[lvl])
+            sub, of = grid_radius_search(
+                pts[lvl + 1], pts[lvl], msks[lvl + 1], msks[lvl], radius,
+                neighbor_limits[lvl],
             )
-            rs_up = jax.vmap(
-                lambda q, s, qm, sm, r=radius * 2.0, k=neighbor_limits[
-                    lvl + 1
-                ]: radius_search(q, s, qm, sm, r, k)
+            subsampling.append(sub)
+            overflow += of
+            up, of = grid_radius_search(
+                pts[lvl], pts[lvl + 1], msks[lvl], msks[lvl + 1],
+                radius * 2.0, neighbor_limits[lvl + 1],
             )
-            upsampling.append(
-                rs_up(pts[lvl], pts[lvl + 1], msks[lvl], msks[lvl + 1])
-            )
+            upsampling.append(up)
+            overflow += of
         radius = radius * 2.0
 
     return Pyramid(
@@ -118,6 +126,7 @@ def build_pyramid(
         upsampling=tuple(upsampling),
         num_voxels=tuple(nvox),
         perm0=perm0,
+        search_overflow=overflow,
     )
 
 

@@ -128,7 +128,7 @@ def _voxel_overflow(cfg: Config, batch: PairBatch) -> jnp.ndarray:
     over = jnp.zeros((), jnp.int32)
     for nv, cap in zip(batch.pyramid.num_voxels[1:], cfg.capacity.levels[1:]):
         over = over + jnp.sum(jnp.maximum(nv - cap, 0))
-    return over
+    return over + jnp.sum(batch.pyramid.search_overflow)
 
 
 def make_train_step(model: GaussRegModel, cfg: Config, tx, mesh=None):

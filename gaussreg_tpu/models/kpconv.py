@@ -55,10 +55,20 @@ def generate_kernel_points(num_points: int = 15, seed: int = 42) -> np.ndarray:
 
 
 def batched_gather(values: jnp.ndarray, indices: jnp.ndarray, fill=0.0):
-    """Gather (B, N, C) at (B, M, K) with sentinel index == N -> fill."""
-    n = values.shape[1]
+    """Gather (B, N, C) at (B, M, K) with sentinel index == N -> fill.
+
+    Lowered as ONE flat row gather with per-batch offsets: measured 4x
+    faster on TPU than vmap(take) / take_along_axis for backbone shapes
+    (12 ms vs 46 ms at 4.3M rows — PERF.md)."""
+    b, n = values.shape[:2]
+    flat = values.reshape((b * n,) + values.shape[2:])
     clipped = jnp.minimum(indices, n - 1)
-    out = jax.vmap(lambda v, i: jnp.take(v, i, axis=0))(values, clipped)
+    off = (jnp.arange(b, dtype=indices.dtype) * n).reshape(
+        (b,) + (1,) * (indices.ndim - 1)
+    )
+    out = flat[(clipped + off).reshape(-1)].reshape(
+        indices.shape + values.shape[2:]
+    )
     sentinel = (indices == n)[..., None]
     return jnp.where(sentinel, jnp.asarray(fill, values.dtype), out)
 

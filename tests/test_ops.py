@@ -77,6 +77,47 @@ def test_radius_search_matches_bruteforce():
     assert np.all(idx[40:] == 128)
 
 
+def test_grid_radius_search_matches_bruteforce():
+    from gaussreg_tpu.ops.neighbors import grid_radius_search
+
+    rng = np.random.default_rng(7)
+    radius, limit = 0.12, 10
+    qs, ss, qms, sms = [], [], [], []
+    for b in range(2):
+        q = rng.uniform(0, 1, size=(50 - 10 * b, 3)).astype(np.float32)
+        s = rng.uniform(0, 1, size=(200 - 40 * b, 3)).astype(np.float32)
+        qp, qm = _pad(q, 64)
+        sp, sm = _pad(s, 256)
+        qs.append(qp), ss.append(sp), qms.append(qm), sms.append(sm)
+    qp, sp = jnp.stack(qs), jnp.stack(ss)
+    qm, sm = jnp.stack(qms), jnp.stack(sms)
+    idx, overflow = grid_radius_search(qp, sp, qm, sm, radius, limit)
+    assert idx.shape == (2, 64, limit)
+    assert int(overflow) == 0
+    # must agree with the brute-force path as sets per row (ties may reorder)
+    for b in range(2):
+        ref = np.asarray(radius_search(qp[b], sp[b], qm[b], sm[b], radius, limit))
+        got = np.asarray(idx[b])
+        nq = int(np.sum(np.asarray(qm[b])))
+        for i in range(nq):
+            assert set(got[i].tolist()) == set(ref[i].tolist()), (b, i)
+        assert np.all(got[nq:] == 256)
+
+
+def test_grid_radius_search_overflow_counted():
+    from gaussreg_tpu.ops.neighbors import grid_radius_search
+
+    rng = np.random.default_rng(8)
+    # 300 points crammed into one cell -> z-runs far longer than run_cap
+    s = (rng.uniform(0, 1, size=(300, 3)) * 0.01).astype(np.float32)
+    sp, sm = _pad(s, 512)
+    qp, qm = _pad(s[:4], 8)
+    _, overflow = grid_radius_search(
+        qp[None], sp[None], qm[None], sm[None], 0.5, 4, run_cap=16
+    )
+    assert int(overflow) > 0
+
+
 def test_knn_search_matches_bruteforce():
     rng = np.random.default_rng(3)
     q = rng.normal(size=(20, 3)).astype(np.float32)
