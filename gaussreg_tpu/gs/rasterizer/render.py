@@ -86,7 +86,28 @@ def _render_impl(
 
     hp = _round_up(height, tile_h)
     wp = _round_up(width, tile_w)
-    g = means3d.shape[0]
+    rgb, depth, t, num_pairs, overflow, overflow_cap = _bin_and_rasterize(
+        proj, hp, wp, tile_h, tile_w, max_tiles_per_gaussian,
+        pair_capacity_blocks,
+    )
+    return RenderOutput(
+        rgb[:height, :width],
+        depth[:height, :width],
+        t[:height, :width],
+        proj.radii,
+        num_pairs,
+        overflow,
+        overflow_cap,
+    )
+
+
+def _bin_and_rasterize(
+    proj, hp, wp, tile_h, tile_w, max_tiles_per_gaussian,
+    pair_capacity_blocks,
+):
+    """Binning + Pallas tile compositing over an (hp, wp) image whose pixel
+    frame matches proj.means2d (callers shard by shifting means2d)."""
+    g = proj.means2d.shape[0]
     sg = jax.lax.stop_gradient
 
     binning = bin_gaussians(
@@ -124,15 +145,7 @@ def _render_impl(
         tile_h,
         tile_w,
     )
-    return RenderOutput(
-        rgb[:height, :width],
-        depth[:height, :width],
-        t[:height, :width],
-        proj.radii,
-        binning.num_pairs,
-        binning.overflow,
-        binning.overflow_cap,
-    )
+    return rgb, depth, t, binning.num_pairs, binning.overflow, binning.overflow_cap
 
 
 def render(
@@ -188,4 +201,97 @@ def render(
         sh_degree,
         bool(use_pallas),
         pair_capacity_blocks,
+    )
+
+
+def render_sharded(
+    means3d,
+    scales,
+    quats,
+    opacities,
+    sh_coeffs,
+    camera: Camera,
+    mesh,
+    axis_name: str = "data",
+    valid=None,
+    tile_h: int = 16,
+    tile_w: int = 32,
+    max_tiles_per_gaussian: int = 16,
+    sh_degree: int = 3,
+    pair_capacity_blocks: int | None = None,
+) -> RenderOutput:
+    """Multi-chip differentiable render: image rows sharded over `axis_name`.
+
+    Tiles are independent (SURVEY §5 long-context row), so each device
+    projects the (replicated) gaussians, bins only its horizontal slice of
+    the image — the circle-rect tile cull drops gaussians that don't reach
+    the slice — and composites its rows with the same Pallas kernels as
+    `render()`. Collectives: none in forward (projection is replicated
+    compute, ~0.1 ms); backward all-reduces the gaussian-parameter
+    cotangents via shard_map's transpose of the replicated in_specs, riding
+    ICI. Output rgb/depth/transmittance are row-sharded device arrays;
+    overflow counters are psum'd totals.
+
+    mt-overflow accounting is per-slice (a gaussian's bbox is clipped to
+    each slice before the `max_tiles_per_gaussian` cap), so `overflow` can
+    read lower than the single-device count for the same scene — it is
+    still an upper bound on dropped pairs.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if valid is None:
+        valid = jnp.ones(means3d.shape[0], bool)
+    ndev = mesh.shape[axis_name]
+    height, width = int(camera.height), int(camera.width)
+    hp = _round_up(height, ndev * tile_h)
+    wp = _round_up(width, tile_w)
+    local_h = hp // ndev
+    camera_static = (
+        float(camera.fx),
+        float(camera.fy),
+        float(camera.cx),
+        float(camera.cy),
+        width,
+        height,
+    )
+
+    def slice_body(means3d, scales, quats, opacities, sh_coeffs, w2c, valid):
+        fx, fy, cx, cy, w, h = camera_static
+        cam = Camera(w2c, fx, fy, cx, cy, w, h)
+        proj = project_gaussians(
+            means3d, scales, quats, opacities, sh_coeffs, cam,
+            valid=valid, sh_degree=sh_degree,
+        )
+        y_off = (jax.lax.axis_index(axis_name) * local_h).astype(jnp.float32)
+        shift = jnp.stack([jnp.float32(0.0), y_off])
+        proj = proj._replace(means2d=proj.means2d - shift)
+        rgb, depth, t, num_pairs, overflow, overflow_cap = _bin_and_rasterize(
+            proj, local_h, wp, tile_h, tile_w, max_tiles_per_gaussian,
+            pair_capacity_blocks,
+        )
+        scalars = jax.lax.psum(
+            jnp.stack([num_pairs, overflow, overflow_cap]), axis_name
+        )
+        return rgb, depth, t, proj.radii, scalars
+
+    body = jax.shard_map(
+        slice_body,
+        mesh=mesh,
+        in_specs=(P(),) * 7,
+        out_specs=(
+            P(axis_name), P(axis_name), P(axis_name), P(), P(),
+        ),
+        check_vma=False,
+    )
+    rgb, depth, t, radii, scalars = body(
+        means3d, scales, quats, opacities, sh_coeffs, camera.w2c, valid
+    )
+    return RenderOutput(
+        rgb[:height, :width],
+        depth[:height, :width],
+        t[:height, :width],
+        radii,
+        scalars[0],
+        scalars[1],
+        scalars[2],
     )

@@ -179,3 +179,53 @@ def test_gradients_match_finite_differences():
         op_m = opac.at[i].add(-eps)
         fd = (float(loss(op_p)) - float(loss(op_m))) / (2 * eps)
         np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=1e-3)
+
+
+def test_sharded_render_matches_single_device():
+    """render_sharded on an 8-device mesh == render on one device (fwd+bwd).
+
+    Anchors BASELINE's rasterizer scaling row: image rows shard over the
+    mesh, gaussian-parameter gradients all-reduce via shard_map transpose."""
+    from jax.sharding import Mesh
+    from gaussreg_tpu.gs.rasterizer.render import render_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    means, scales, quats, opac, sh = _scene(150, seed=5)
+    cam = _camera(width=128, height=128)
+
+    out1 = render(means, scales, quats, opac, sh, cam, use_pallas=True)
+    out8 = render_sharded(means, scales, quats, opac, sh, cam, mesh)
+    # pair-block boundaries fall differently per slice, so blending
+    # accumulates in a different order: roundoff-level tolerance
+    np.testing.assert_allclose(
+        np.asarray(out8.rgb), np.asarray(out1.rgb), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out8.depth), np.asarray(out1.depth), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out8.transmittance), np.asarray(out1.transmittance),
+        atol=5e-4,
+    )
+
+    def loss(render_fn, *args):
+        out = render_fn(*args)
+        w = jnp.linspace(0.5, 1.5, out.rgb.size).reshape(out.rgb.shape)
+        return jnp.sum(out.rgb * w) + 0.3 * jnp.sum(out.transmittance)
+
+    args = (means, scales, quats, opac, sh)
+    g1 = jax.grad(
+        lambda *a: loss(lambda *b: render(*b, cam, use_pallas=True), *a),
+        argnums=(0, 1, 2, 3, 4),
+    )(*args)
+    g8 = jax.grad(
+        lambda *a: loss(lambda *b: render_sharded(*b, cam, mesh), *a),
+        argnums=(0, 1, 2, 3, 4),
+    )(*args)
+    for name, a, b in zip(["means", "scales", "quats", "opac", "sh"], g1, g8):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-3, err_msg=name)
