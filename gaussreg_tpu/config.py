@@ -24,6 +24,12 @@ class BackboneConfig:
     input_dim: int = 4  # [opacity, R, G, B]
     init_dim: int = 64
     output_dim: int = 256
+    # compute KPConv influences once per neighbor list and share them across
+    # the convs of a stage (models/backbone.py). Set False when running a
+    # torch-imported checkpoint whose per-layer kernel dispositions carry
+    # the reference's per-instantiation random rotation
+    # (reference kernel_points.py:428-453).
+    shared_kpconv_geometry: bool = True
 
     @property
     def init_radius(self) -> float:

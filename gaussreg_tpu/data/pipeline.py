@@ -88,9 +88,11 @@ def build_pyramid(
         msks.append(m)
         nvox.append(nv)
 
-    # all searches use the grid-run pruned path (ops/neighbors.py): ~25x
-    # faster than full-width top_k at these sizes; `search_overflow` counts
-    # candidate runs longer than the cap (no silent truncation, SURVEY §7.3)
+    # all searches use the grid-run pruned path (ops/neighbors.py);
+    # `search_overflow` counts candidate-run entries beyond the gathered
+    # aligned windows (no silent truncation, SURVEY §7.3); the default
+    # 2-row windows guarantee >= 129 candidates per z-run, past the
+    # measured p99 run length on cluttered synthetic scenes.
     neighbors = []
     subsampling = []
     upsampling = []
@@ -110,9 +112,15 @@ def build_pyramid(
             )
             subsampling.append(sub)
             overflow += of
+            # upsampling lists are consumed ONLY by nearest_upsample
+            # (backbone decoder takes the first = nearest neighbor); a
+            # 4-wide list keeps knn-interpolation consumers viable while
+            # skipping the reference's full next-level cap (the reference
+            # computes the wide list and then uses column 0,
+            # kpconv/functional.py:6-22 — wasted work on TPU)
             up, of = grid_radius_search(
                 pts[lvl], pts[lvl + 1], msks[lvl], msks[lvl + 1],
-                radius * 2.0, neighbor_limits[lvl + 1],
+                radius * 2.0, min(4, neighbor_limits[lvl + 1]),
             )
             upsampling.append(up)
             overflow += of

@@ -73,11 +73,41 @@ def batched_gather(values: jnp.ndarray, indices: jnp.ndarray, fill=0.0):
     return jnp.where(sentinel, jnp.asarray(fill, values.dtype), out)
 
 
+def kpconv_geometry(q_points, s_points, neighbor_indices, kernel_points, sigma):
+    """Feature-independent part of KPConv: the (B, M, H, K) kernel
+    influences and per-query neighbor counts.
+
+    Computed ONCE per neighbor list and shared by every conv on that list
+    (backbone.py): the point gather + influence chain is ~60% of a KPConv
+    forward on TPU (measured 25 of 42 ms at level-0 shapes,
+    tools/profile_backbone.py) and is identical across the 2-3 convs of a
+    backbone stage. Stored bf16: inputs feed bf16 einsums anyway.
+    """
+    nbr = batched_gather(s_points, neighbor_indices, fill=_SENTINEL_COORD)
+    nbr = nbr - q_points[:, :, None, :]  # (B, M, H, 3)
+    # |n - kp|^2 via gram expansion (no (B,M,H,K,3) tensor)
+    n2 = jnp.sum(nbr * nbr, axis=-1)[..., None]  # (B, M, H, 1)
+    cross = jnp.einsum("bmhc,kc->bmhk", nbr, kernel_points)
+    k2 = jnp.sum(kernel_points * kernel_points, axis=-1)  # (K,)
+    sq = jnp.maximum(n2 - 2.0 * cross + k2, 0.0)  # (B, M, H, K)
+    influence = jnp.maximum(1.0 - jnp.sqrt(sq) / sigma, 0.0)
+    count = jnp.sum(neighbor_indices != s_points.shape[1], axis=-1)
+    return influence.astype(jnp.bfloat16), count
+
+
 class KPConv(nn.Module):
     """Kernel point convolution (reference kpconv.py:79-122).
 
     __call__(s_feats (B,N,Cin), q_points (B,M,3), s_points (B,N,3),
-             neighbor_indices (B,M,H)) -> (B,M,Cout)
+             neighbor_indices (B,M,H), geometry=None) -> (B,M,Cout)
+
+    `geometry` is an optional precomputed (influence, count) pair from
+    `kpconv_geometry` (shared across the convs of a backbone stage). When
+    given, this layer's own `kernel_points` param is NOT used — only valid
+    when all convs on the list share one disposition (true for our
+    deterministic generator; reference checkpoints apply a random rotation
+    per layer, kernel_points.py:428-453, so the torch-import path must pass
+    geometry=None).
     """
 
     in_channels: int
@@ -87,7 +117,7 @@ class KPConv(nn.Module):
     sigma: float
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices, geometry=None):
         k = self.kernel_size
         # kernel dispositions live in the param tree (zero-gradient via
         # stop_gradient) so reference torch checkpoints — whose KPConv
@@ -108,17 +138,11 @@ class KPConv(nn.Module):
             "bias", nn.initializers.zeros, (self.out_channels,)
         )  # reference kpconv.py:56,119-120 (bias=True in every block)
 
-        # neighbor offsets relative to query (sentinel pushed far away so its
-        # kernel influence is exactly 0; reference kpconv.py:91)
-        nbr = batched_gather(s_points, neighbor_indices, fill=_SENTINEL_COORD)
-        nbr = nbr - q_points[:, :, None, :]  # (B, M, H, 3)
-
-        # |n - kp|^2 via gram expansion (no (B,M,H,K,3) tensor)
-        n2 = jnp.sum(nbr * nbr, axis=-1)[..., None]  # (B, M, H, 1)
-        cross = jnp.einsum("bmhc,kc->bmhk", nbr, kp)
-        k2 = jnp.sum(kp * kp, axis=-1)  # (K,)
-        sq = jnp.maximum(n2 - 2.0 * cross + k2, 0.0)  # (B, M, H, K)
-        influence = jnp.maximum(1.0 - jnp.sqrt(sq) / self.sigma, 0.0)
+        if geometry is None:
+            geometry = kpconv_geometry(
+                q_points, s_points, neighbor_indices, kp, self.sigma
+            )
+        influence, count = geometry
 
         nf = batched_gather(s_feats, neighbor_indices, fill=0.0)  # (B, M, H, C)
         # bf16 inputs + f32 accumulation: these einsums dominate backbone
@@ -139,7 +163,6 @@ class KPConv(nn.Module):
         )
 
         # per-query neighbor-count normalization (reference kpconv.py:113-116)
-        count = jnp.sum(neighbor_indices != s_points.shape[1], axis=-1)
         out = out / jnp.maximum(count, 1)[..., None].astype(out.dtype)
         return out + bias
 
@@ -203,10 +226,12 @@ class ConvBlock(nn.Module):
     group_norm: int
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask):
+    def __call__(
+        self, s_feats, q_points, s_points, neighbor_indices, q_mask, geometry=None
+    ):
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size, self.radius, self.sigma
-        )(s_feats, q_points, s_points, neighbor_indices)
+        )(s_feats, q_points, s_points, neighbor_indices, geometry)
         x = MaskedGroupNorm(self.group_norm)(x, q_mask)
         return nn.leaky_relu(x, 0.1)
 
@@ -258,14 +283,23 @@ class ResidualBlock(nn.Module):
     strided: bool = False
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask, s_mask):
+    def __call__(
+        self,
+        s_feats,
+        q_points,
+        s_points,
+        neighbor_indices,
+        q_mask,
+        s_mask,
+        geometry=None,
+    ):
         mid = self.out_channels // 4
         if self.in_channels != mid:
             x = UnaryBlock(mid, self.group_norm)(s_feats, s_mask)
         else:
             x = s_feats
         x = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma)(
-            x, q_points, s_points, neighbor_indices
+            x, q_points, s_points, neighbor_indices, geometry
         )
         x = MaskedGroupNorm(self.group_norm)(x, q_mask)
         x = nn.leaky_relu(x, 0.1)

@@ -84,6 +84,7 @@ class GaussRegModel(nn.Module):
             cfg.backbone.init_radius,
             cfg.backbone.init_sigma,
             cfg.backbone.group_norm,
+            cfg.backbone.shared_kpconv_geometry,
             name="backbone",
         )(batch.features, pyr)
 

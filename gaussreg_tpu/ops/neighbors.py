@@ -16,10 +16,21 @@ Two exact implementations:
 - grid-run pruned (`grid_radius_search`, the default for large supports):
   supports are sorted by a linear cell key (cell == radius, z in the low
   bits) so each query's 27-cell neighborhood is NINE contiguous z-runs.
-  Per query: 9 searchsorted range probes, one slab gather of the runs
-  (capped at `run_cap`, overflow counted), masked distances, and a top_k
-  over ~500 candidates instead of the full support. ~25x faster at pyramid
-  scale, bit-identical output when no run overflows.
+  Per query: 9 range probes ranked by a merge sort, LANE-ALIGNED window
+  gathers covering each run, masked distances, and a two-stage top_k over
+  the 9 windows. Bit-identical to brute force when no run overflows the
+  gathered window; an unbiased-sample approximation (hashed within-cell
+  tiebreak) when one does.
+
+  Every gather here moves whole 128-lane-aligned rows of a 2D-reshaped
+  operand. This is THE critical TPU constraint: gathering length-128
+  slices at unaligned minor-dim offsets from a 1D array lowers to a
+  ~2.3 us/row slow path (measured: 613 ms for one probe pass at pyramid
+  scale, tools/probe_bisect.py) while aligned full-row gathers are
+  row-count bound at ~2-6 ns/row — a 400x difference. The run [start,
+  end) is therefore covered by the TWO aligned 128-rows containing
+  [start, start+129) and the exact radius test + run-bound mask discard
+  the spillover.
 """
 
 from __future__ import annotations
@@ -80,9 +91,76 @@ def radius_search(
     return jnp.where(ok, idx, n).astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("limit", "run_cap")
-)
+def _merge_ranks(skey, lo, hi):
+    """Ranks of probe keys in the sorted support keys, by MERGE instead of
+    search: one stable sort of [supports, lo-probes, hi-probes] with a
+    2-bit tie-break type (lo < support < hi) yields, per probe, the number
+    of supports strictly below a lo probe and <= a hi probe in a single
+    pass; a second sort un-permutes the results back to probe slots.
+
+    Sorts are the fast primitive on this hardware (a (2, 92k) 2-operand
+    sort is ~0.3 ms) while both searchsorted (serial gather while-loop,
+    184 ms) and brute chunk-count probing (P x nchunks compare fusions,
+    ~58 ms per pass at level-0 pyramid scale — profiler trace) are not.
+
+    skey: (B, N) ascending int32 cell keys (< 2^30).
+    lo, hi: (B, P) int32 probe keys.
+    Returns (starts, ends): (B, P) int32 — #(skey < lo), #(skey <= hi).
+    """
+    b, n = skey.shape
+    p = lo.shape[1]
+    k3s = (skey.astype(jnp.uint32) << 2) | jnp.uint32(1)
+    k3lo = lo.astype(jnp.uint32) << 2
+    k3hi = (hi.astype(jnp.uint32) << 2) | jnp.uint32(2)
+    keys = jnp.concatenate([k3s, k3lo, k3hi], axis=1)  # (B, N + 2P)
+    is_probe = jnp.concatenate(
+        [
+            jnp.zeros((b, n), jnp.int32),
+            jnp.ones((b, 2 * p), jnp.int32),
+        ],
+        axis=1,
+    )
+    slot = jnp.concatenate(
+        [
+            jnp.full((b, n), n + 2 * p, jnp.int32),  # supports un-sort last
+            jnp.broadcast_to(jnp.arange(2 * p, dtype=jnp.int32), (b, 2 * p)),
+        ],
+        axis=1,
+    )
+    _, flags, slots = jax.lax.sort((keys, is_probe, slot), num_keys=1)
+    pos = jnp.broadcast_to(
+        jnp.arange(n + 2 * p, dtype=jnp.int32), (b, n + 2 * p)
+    )
+    # supports before this position = position - probes before it.
+    # associative_scan, NOT jnp.cumsum: cumsum lowers to a row-wide
+    # reduce_window (583k-wide window at level-0 scale) which the TPU
+    # backend executes abysmally; the explicit log-depth scan is cheap.
+    nsup_below = pos - (
+        jax.lax.associative_scan(jnp.add, flags, axis=1) - flags
+    )
+    _, ranks = jax.lax.sort((slots, nsup_below), num_keys=1)
+    return ranks[:, :p], ranks[:, p : 2 * p]
+
+
+def _row_window_gather(src, rows, nrows: int):
+    """Gather `nrows` consecutive rows of `src` (B, R, C) starting at row
+    index `rows` (B, P) -> (B, P, nrows, C). Rows must satisfy
+    rows + nrows <= R (caller pads).
+
+    Expressed as `flat[idx]` whole-row takes (collapsed slice dim): that is
+    the ONLY gather form XLA's TPU backend lowers to the fast vectorized
+    path — explicit lax.gather with multi-row slice_sizes lowers to a
+    SERIAL while loop (measured 78 ms per gather at 442k probes,
+    tools/probe_bisect.py + profiler trace)."""
+    b, r, c = src.shape
+    p = rows.shape[1]
+    flat = src.reshape(b * r, c)
+    off = (jnp.arange(b, dtype=rows.dtype) * r)[:, None]
+    parts = [flat[(rows + off + j).reshape(-1)] for j in range(nrows)]
+    return jnp.stack(parts, axis=1).reshape(b, p, nrows, c)
+
+
+@functools.partial(jax.jit, static_argnames=("limit", "window_rows"))
 def grid_radius_search(
     q_points: jnp.ndarray,  # (B, M, 3)
     s_points: jnp.ndarray,  # (B, N, 3)
@@ -90,18 +168,30 @@ def grid_radius_search(
     s_mask: jnp.ndarray,  # (B, N)
     radius,
     limit: int,
-    run_cap: int = 96,
+    window_rows: int = 2,
 ):
     """Batched grid-run pruned radius search (module docstring).
 
     Returns (indices (B, M, limit) int32 with sentinel == N,
-             overflow () int32 — candidate z-runs longer than run_cap;
-             > 0 means some in-radius neighbors may have been missed and
-             run_cap should be raised).
+             overflow () int32 — candidate z-run entries beyond the
+             gathered aligned window).
+
+    Each z-run [start, end) is covered by the `window_rows` aligned
+    128-wide rows containing `start`, guaranteeing coverage of at least
+    (window_rows - 1) * 128 + 1 run entries. When a run is longer, the
+    covered prefix is a RANDOM sample of the run (supports sort with a
+    hashed tiebreak), so truncation is spatially unbiased — the result is
+    then the nearest `limit` of a uniform candidate sample instead of the
+    exact nearest `limit`, the same kind of statistical truncation the
+    reference applies via its calibrated per-level neighbor limits
+    (utils/data.py:13-39). Overflowed entries are counted, never silently
+    dropped.
     """
     b, m = q_points.shape[:2]
     n = s_points.shape[1]
     r2 = radius * radius
+    cw = 128  # lane-aligned window row width
+    wspan = window_rows * cw
 
     big = jnp.asarray(jnp.finfo(s_points.dtype).max, s_points.dtype)
     pmin = jnp.min(
@@ -121,13 +211,35 @@ def grid_radius_search(
         | (s_cells[..., 1] << _BITS)
         | s_cells[..., 2]
     )
-    key = jnp.where(s_mask, key, jnp.int32(0x7FFFFFFF))  # invalid sort last
-    order = jnp.argsort(key, axis=1)  # (B, N)
-    skey = jnp.take_along_axis(key, order, axis=1)
-    spts = jnp.take_along_axis(s_points, order[..., None], axis=1)
-    # padding rows -> far away so their d2 can never pass the radius test
+    # invalid points sort last; 0x3FFFFFFF (the max 30-bit key) keeps every
+    # key < 2^30 so _merge_ranks' 2-bit type suffix fits in uint32. It
+    # aliases the (1023,1023,1023) corner cell, which no real query reaches
+    # (cells are radius-sized from pmin); invalid coords are pushed to
+    # `big` so they can never pass the radius test regardless.
+    key = jnp.where(s_mask, key, jnp.int32(0x3FFFFFFF))
+    # within-cell order: hashed tiebreak so window truncation samples the
+    # run uniformly instead of keeping a spatial prefix
+    iota = jnp.arange(n, dtype=jnp.uint32)
+    tiebreak = (iota * jnp.uint32(2654435761)).astype(jnp.int32)
+    order0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    skey, _, order = jax.lax.sort(
+        (key, jnp.broadcast_to(tiebreak, (b, n)), order0), num_keys=2
+    )
     svalid = jnp.take_along_axis(s_mask, order, axis=1)
-    spts = jnp.where(svalid[..., None], spts, big)
+    # SoA coordinate planes as 2D (B, R, cw) for aligned row gathers;
+    # padding values -> far away so their d2 can never pass the radius test.
+    # R covers row index start//cw + window_rows for any start <= n.
+    nrow = (n + cw - 1) // cw
+    r_tot = nrow + window_rows
+    lpad = r_tot * cw
+    planes = []
+    for a in range(3):
+        pa = jnp.take_along_axis(s_points[..., a], order, axis=1)
+        pa = jnp.where(svalid, pa, big)
+        pa = jnp.concatenate(
+            [pa, jnp.full((b, lpad - n), big, pa.dtype)], axis=1
+        )
+        planes.append(pa.reshape(b, r_tot, cw))
 
     # per query: 9 z-runs, one per (dx, dy) in the 3x3 xy-neighborhood
     q_cells = cellify(q_points)  # (B, M, 3)
@@ -135,53 +247,60 @@ def grid_radius_search(
         jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"),
         axis=-1,
     ).reshape(9, 2)  # (9, 2)
-    cx = jnp.clip(q_cells[..., 0:1] + dxy[:, 0], 0, (1 << _BITS) - 1)
-    cy = jnp.clip(q_cells[..., 1:2] + dxy[:, 1], 0, (1 << _BITS) - 1)
+    cx = q_cells[..., 0:1] + dxy[:, 0]
+    cy = q_cells[..., 1:2] + dxy[:, 1]
+    # a run whose unclipped (x, y) fell outside the grid must be DROPPED,
+    # not clipped: clipping would duplicate an in-range neighbour run and
+    # top_k would return duplicate support indices
+    run_ok = (
+        (cx >= 0) & (cx < (1 << _BITS)) & (cy >= 0) & (cy < (1 << _BITS))
+    )  # (B, M, 9)
+    cx = jnp.clip(cx, 0, (1 << _BITS) - 1)
+    cy = jnp.clip(cy, 0, (1 << _BITS) - 1)
     z0 = jnp.maximum(q_cells[..., 2:3] - 1, 0)
     z1 = jnp.minimum(q_cells[..., 2:3] + 1, (1 << _BITS) - 1)
     lo_key = (cx << (2 * _BITS)) | (cy << _BITS) | z0  # (B, M, 9)
     hi_key = (cx << (2 * _BITS)) | (cy << _BITS) | z1
 
-    starts = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(
-        skey, lo_key.reshape(b, -1)
-    ).reshape(b, m, 9)
-    ends = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
-        skey, hi_key.reshape(b, -1)
-    ).reshape(b, m, 9)
-    lengths = ends - starts
-    overflow = jnp.sum(jnp.maximum(lengths - run_cap, 0))
-
-    # SLAB gather: one (run_cap, 3) contiguous slice per (query, run) — 9*M
-    # slab rows per cloud instead of 9*M*run_cap scalar rows (a per-slot row
-    # gather here would cost ~70 ms; slabs amortize the per-row gather cost)
-    offs = jnp.arange(run_cap, dtype=jnp.int32)
-    cand = starts[..., None] + offs  # (B, M, 9, run_cap) sorted-order rows
-    cand_valid = offs < jnp.minimum(lengths, run_cap)[..., None]
-
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
+    starts, ends = _merge_ranks(
+        skey, lo_key.reshape(b, -1), hi_key.reshape(b, -1)
     )
-    pad = jnp.full((run_cap, 3), big, spts.dtype)
+    starts = starts.reshape(b, m, 9)
+    ends = ends.reshape(b, m, 9)
+    live = run_ok & q_mask[:, :, None]
+    ends = jnp.where(live, ends, starts)
 
-    def slab_gather(sp_b, starts_b):
-        return jax.lax.gather(
-            jnp.concatenate([sp_b, pad], axis=0),  # starts never clip
-            starts_b.reshape(-1, 1),
-            dnums,
-            slice_sizes=(run_cap, 3),
-        ).reshape(m, 9, run_cap, 3)
+    # aligned windows: rows [start//cw, +window_rows) cover positions
+    # [wrow*cw, wrow*cw + wspan) ⊇ [start, start + wspan - cw + 1)
+    wrow = starts // cw  # (B, M, 9)
+    wend = wrow * cw + wspan
+    overflow = jnp.sum(jnp.maximum(ends - wend, 0))
 
-    cpts = jnp.stack(
-        [slab_gather(spts[i], starts[i]) for i in range(b)]
-    )  # (B, M, 9, run_cap, 3)
-
-    d2 = jnp.sum((cpts - q_points[:, :, None, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cand_valid, d2, _BIG).reshape(b, m, 9 * run_cap)
-    neg, slot = jax.lax.top_k(-d2, limit)  # (B, M, limit)
+    offs = jnp.arange(wspan, dtype=jnp.int32)
+    pos = wrow[..., None] * cw + offs  # (B, M, 9, wspan) global rows
+    cand_valid = (pos >= starts[..., None]) & (pos < ends[..., None])
+    d2 = jnp.zeros((b, m, 9, wspan), q_points.dtype)
+    wflat = wrow.reshape(b, m * 9)
+    for a in range(3):
+        ca = _row_window_gather(planes[a], wflat, window_rows).reshape(
+            b, m, 9, wspan
+        )
+        diff = ca - q_points[:, :, None, None, a]
+        d2 = d2 + diff * diff
+    d2 = jnp.where(cand_valid, d2, _BIG)
+    # two-stage exact top-k: nearest `limit` per run first, then merge the
+    # 9 winners — ~2x cheaper than one top_k over the full 9*wspan width
+    # (top_k cost is ~0.2-0.3 ns/element and scales with width; the
+    # per-run winners are an exact superset of the global winners)
+    kk = min(limit, wspan)
+    neg1, slot1 = jax.lax.top_k(-d2, kk)  # (B, M, 9, kk)
+    neg, slot2 = jax.lax.top_k(neg1.reshape(b, m, 9 * kk), limit)
     d2_sel = -neg
-    picked = jnp.take_along_axis(
-        cand.reshape(b, m, 9 * run_cap), slot, axis=-1
-    )  # rows in sorted order
+    run = slot2 // kk
+    within_run = jnp.take_along_axis(
+        slot1.reshape(b, m, 9 * kk), slot2, axis=-1
+    )  # offset within the run's window
+    picked = jnp.take_along_axis(wrow, run, axis=-1) * cw + within_run
     idx = jnp.take_along_axis(
         order, jnp.minimum(picked, n - 1).reshape(b, -1), axis=1
     ).reshape(b, m, limit)  # back to original support ids

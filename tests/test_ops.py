@@ -108,12 +108,13 @@ def test_grid_radius_search_overflow_counted():
     from gaussreg_tpu.ops.neighbors import grid_radius_search
 
     rng = np.random.default_rng(8)
-    # 300 points crammed into one cell -> z-runs far longer than run_cap
+    # 300 points crammed into one cell -> a z-run longer than the 256-wide
+    # aligned candidate window
     s = (rng.uniform(0, 1, size=(300, 3)) * 0.01).astype(np.float32)
     sp, sm = _pad(s, 512)
     qp, qm = _pad(s[:4], 8)
     _, overflow = grid_radius_search(
-        qp[None], sp[None], qm[None], sm[None], 0.5, 4, run_cap=16
+        qp[None], sp[None], qm[None], sm[None], 0.5, 4
     )
     assert int(overflow) > 0
 
@@ -208,3 +209,27 @@ def test_spatial_sort_locality():
     nn_idx = np.argsort(d, axis=1)[:, :5]
     idx_dist = np.abs(nn_idx - np.arange(1000)[:, None]).mean()
     assert idx_dist < 200  # random order would give ~333
+
+
+def test_grid_radius_search_no_duplicate_neighbors():
+    """Boundary queries must not get duplicated runs (clipped (dx,dy)
+    neighborhoods used to collapse onto the same z-run)."""
+    from gaussreg_tpu.ops.neighbors import grid_radius_search
+
+    rng = np.random.default_rng(11)
+    # thin slab: almost every query sits on a grid boundary
+    s = rng.uniform(0, 1, size=(300, 3)).astype(np.float32)
+    s[:, 0] *= 0.05
+    sp, sm = _pad(s, 512)
+    qp, qm = _pad(s[:64], 64)
+    idx, overflow = grid_radius_search(
+        qp[None], sp[None], qm[None], sm[None], 0.3, 12
+    )
+    assert int(overflow) == 0  # window covers all runs -> exact semantics
+    idx = np.asarray(idx[0])
+    ref = np.asarray(radius_search(qp, sp, qm, sm, 0.3, 12))
+    for i in range(64):
+        real = idx[i][idx[i] < 512]
+        assert len(set(real.tolist())) == len(real), (i, idx[i])
+        # and they must match brute force
+        assert set(real.tolist()) == set(j for j in ref[i] if j < 512)
