@@ -128,3 +128,55 @@ def test_overflow_metrics_surface(setup):
     _, metrics = eval_step(state.params, example, jax.random.PRNGKey(3))
     assert "vox_overflow" in metrics and "corr_overflow" in metrics
     assert float(metrics["vox_overflow"]) >= 0.0
+
+
+def test_nan_grad_skip_guard(setup):
+    """Non-finite gradients must leave params untouched and be counted
+    (reference base_trainer.py:219-227 crash-to-debugger becomes a jitted
+    skip-and-count on TPU)."""
+    import jax.numpy as jnp
+
+    cfg, model, tx, state, example = setup
+    batch = make_synthetic_batch(cfg, [2], num_points=600)
+    # poison the features: NaNs propagate to the loss and every gradient
+    batch = batch._replace(
+        features=jnp.full_like(jnp.asarray(batch.features), jnp.nan)
+    )
+    step = make_train_step(model, cfg, tx)
+    keys = jax.random.split(jax.random.PRNGKey(3), 1)
+    before = jax.tree_util.tree_leaves(state.params)
+    before = [np.asarray(x).copy() for x in before]
+    skipped_before = int(state.skipped)  # read BEFORE donation deletes it
+    state2, metrics = step(state, batch, keys)
+    assert float(metrics["grad_finite"]) == 0.0
+    assert int(state2.skipped) == skipped_before + 1
+    after = jax.tree_util.tree_leaves(state2.params)
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(b, np.asarray(a))
+
+
+def test_gradient_accumulation_multisteps(setup):
+    """grad_acc_steps > 1 wires optax.MultiSteps: params change only every
+    k-th micro-step (reference base_trainer.py:208-211)."""
+    import dataclasses
+
+    cfg, model, tx0, state0, example = setup
+    cfg2 = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, grad_acc_steps=2)
+    )
+    tx = make_optimizer(cfg2, steps_per_epoch=10)
+    state = create_train_state(
+        cfg2, model, example, jax.random.PRNGKey(0), tx
+    )
+    step = make_train_step(model, cfg2, tx)
+    batch = make_synthetic_batch(cfg2, [1], num_points=600)
+    keys = jax.random.split(jax.random.PRNGKey(1), 1)
+
+    p0 = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(state.params)]
+    state, _ = step(state, batch, keys)
+    p1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+    for a, b in zip(p0, p1):  # first micro-step only accumulates
+        np.testing.assert_array_equal(a, b)
+    state, _ = step(state, batch, keys)
+    p2 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+    assert any(not np.array_equal(a, b) for a, b in zip(p1, p2))
