@@ -82,6 +82,8 @@ def bin_gaussians(
     max_tiles_per_gaussian: int = 16,
     chunk: int = 128,
     pair_capacity_blocks: int | None = None,
+    extents: jnp.ndarray | None = None,  # (G, 2) ellipse AABB half-widths
+    minor: jnp.ndarray | None = None,  # (G, 3) minor-axis slab (ux, uy, hw)
 ) -> TileBinning:
     g = means2d.shape[0]
     ntx = (width + tile_w - 1) // tile_w
@@ -97,11 +99,17 @@ def bin_gaussians(
     my = means2d[:, 1]
     r = radii
     alive = r > 0
+    # anisotropic per-axis extents: the AABB of the exact alpha >= 1/255
+    # ellipse. NOT min'd with `r` (the display radius carries a 3-sigma
+    # cap; the contour can sit at 3.33 sigma for opaque splats and
+    # re-capping would over-cull — parity test catches it)
+    hx = extents[:, 0] if extents is not None else r
+    hy = extents[:, 1] if extents is not None else r
 
-    x0 = jnp.floor((mx - r) / tile_w).astype(jnp.int32)
-    x1 = jnp.floor((mx + r) / tile_w).astype(jnp.int32)
-    y0 = jnp.floor((my - r) / tile_h).astype(jnp.int32)
-    y1 = jnp.floor((my + r) / tile_h).astype(jnp.int32)
+    x0 = jnp.floor((mx - hx) / tile_w).astype(jnp.int32)
+    x1 = jnp.floor((mx + hx) / tile_w).astype(jnp.int32)
+    y0 = jnp.floor((my - hy) / tile_h).astype(jnp.int32)
+    y1 = jnp.floor((my + hy) / tile_h).astype(jnp.int32)
     x0 = jnp.clip(x0, 0, ntx - 1)
     x1 = jnp.clip(x1, 0, ntx - 1)
     y0 = jnp.clip(y0, 0, nty - 1)
@@ -126,8 +134,24 @@ def bin_gaussians(
     tly = (ty * tile_h).astype(jnp.float32)
     cdx = jnp.maximum(jnp.maximum(tlx - mx[:, None], mx[:, None] - (tlx + tile_w)), 0.0)
     cdy = jnp.maximum(jnp.maximum(tly - my[:, None], my[:, None] - (tly + tile_h)), 0.0)
-    near_enough = cdx * cdx + cdy * cdy < (r * r)[:, None]
+    # conservative circle: with extents, hypot(hx, hy) >= nsig*sqrt(lambda1)
+    # (the true circumscribed radius; lambda1 <= a + c) — without, the
+    # caller's radius itself
+    r2_cull = (hx * hx + hy * hy) if extents is not None else r * r
+    near_enough = cdx * cdx + cdy * cdy < r2_cull[:, None]
     valid = in_bbox & near_enough
+    if minor is not None:
+        # minor-axis slab test: the ellipse lies inside the slab
+        # |u . (x - mu)| <= hw; a tile rect whose projection interval onto
+        # u misses the slab can never reach alpha >= 1/255
+        ux = minor[:, 0:1]
+        uy = minor[:, 1:2]
+        hw = minor[:, 2:3]
+        rcx = tlx + 0.5 * tile_w
+        rcy = tly + 0.5 * tile_h
+        dproj = jnp.abs(ux * (rcx - mx[:, None]) + uy * (rcy - my[:, None]))
+        rect_hw = jnp.abs(ux) * (0.5 * tile_w) + jnp.abs(uy) * (0.5 * tile_h)
+        valid &= dproj <= hw + rect_hw
 
     # monotone depth quantization: positive float32 bit patterns sort like
     # the floats; keep the top depth_bits bits

@@ -29,6 +29,13 @@ class ProjectedGaussians(NamedTuple):
     opacities: jnp.ndarray  # (G,)
     radii: jnp.ndarray  # (G,) float screen-space 3-sigma radius (0 if culled)
     valid: jnp.ndarray  # (G,) bool
+    # anisotropic cull data (binning.py): the ellipse's axis-aligned
+    # half-extents and its minor-axis slab (ux, uy, half_width) — the
+    # ellipse {d^2_cov <= nsigma^2} lies inside bbox AND slab, so tiles
+    # outside either can never see alpha >= 1/255 (exactly the same
+    # criterion as the isotropic radius, just tighter for thin splats)
+    extents: jnp.ndarray  # (G, 2) float (hx, hy)
+    minor: jnp.ndarray  # (G, 3) float (ux, uy, slab half-width)
 
 
 def compute_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
@@ -120,6 +127,35 @@ def project_gaussians(
         3.0, jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1.001)))
     )
     radii = jnp.ceil(nsigma * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+    # cull geometry must bound the EXACT alpha >= 1/255 contour (the only
+    # cutoff the compositor applies, reference.py:43) — no 3-sigma cap:
+    # for op near 1 the contour sits at 3.33 sigma and capping would
+    # over-cull boundary pixels with alpha up to op*e^-4.5 ~ 0.011
+    nsig_cull = jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1.001)))
+    # per-axis extents of that ellipse: its AABB half-widths are
+    # nsig_cull * sqrt(diag(cov2d)) — tighter than the circumscribed
+    # circle for anisotropic splats, identical cutoff criterion
+    extents = jnp.ceil(
+        nsig_cull[:, None]
+        * jnp.sqrt(jnp.maximum(jnp.stack([a, c], axis=1), 0.0))
+    )
+    # minor principal axis (eigenvalue lambda2) and its slab half-width;
+    # exact (unclamped) gap — an inflated gap would shrink lambda2 and
+    # over-cull. Eigenvector formula picked by conditioning; isotropic
+    # splats fall back to the x-axis (slab == circle bound — harmless)
+    lambda2 = jnp.maximum(
+        mid - jnp.sqrt(jnp.maximum(mid * mid - det, 0.0)), 0.0
+    )
+    v1 = jnp.stack([b, lambda2 - a], axis=1)
+    v2 = jnp.stack([lambda2 - c, b], axis=1)
+    n1 = jnp.sum(v1 * v1, axis=1)
+    n2 = jnp.sum(v2 * v2, axis=1)
+    v = jnp.where((n1 >= n2)[:, None], v1, v2)
+    nv = jnp.sqrt(jnp.maximum(jnp.maximum(n1, n2), 1e-20))
+    u = jnp.where((nv > 1e-8)[:, None], v / nv[:, None], jnp.asarray([[1.0, 0.0]]))
+    minor = jnp.concatenate(
+        [u, (nsig_cull * jnp.sqrt(lambda2) + 1e-3)[:, None]], axis=1
+    )
 
     # view-dependent color
     cam_center = camera.cam_center
@@ -133,6 +169,7 @@ def project_gaussians(
     # rasterizer's alpha cutoff — cull outright
     ok = valid & in_front & (det > 0.0) & (opacities >= 1.0 / 255.0)
     radii = jnp.where(ok, radii, 0.0)
+    extents = jnp.where(ok[:, None], extents, 0.0)
     return ProjectedGaussians(
         means2d=means2d,
         depths=z,
@@ -141,4 +178,6 @@ def project_gaussians(
         opacities=opacities,
         radii=radii,
         valid=ok,
+        extents=extents,
+        minor=minor,
     )

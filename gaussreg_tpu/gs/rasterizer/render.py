@@ -121,6 +121,8 @@ def _bin_and_rasterize(
         max_tiles_per_gaussian=max_tiles_per_gaussian,
         chunk=kernels.CHUNK,
         pair_capacity_blocks=pair_capacity_blocks,
+        extents=sg(proj.extents),
+        minor=sg(proj.minor),
     )
 
     coeffs = kernels.quadratic_coeffs(
