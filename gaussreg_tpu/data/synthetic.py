@@ -21,10 +21,15 @@ def random_pair(
     seed: int = 0,
     num_points: int | None = None,
     scale_range=(1.0, 2.5),
-    overlap: float = 0.8,
+    overlap: float | None = None,
 ):
-    """Returns (ref_points, ref_feats, src_points, src_feats, transform)."""
+    """Returns (ref_points, ref_feats, src_points, src_feats, transform).
+
+    `overlap` None draws the shared fraction uniformly from [0.65, 0.9] per
+    pair — partial-overlap variety like two real scans of one scene."""
     rng = np.random.default_rng(seed)
+    if overlap is None:
+        overlap = float(rng.uniform(0.65, 0.9))
     n = num_points or min(cfg.train.point_limit, cfg.capacity.levels[0])
     # structured indoor-like scene: floor + walls + boxes + spheres, with
     # per-surface colors — gives KPConv distinctive local geometry to learn
@@ -108,6 +113,28 @@ def random_pair(
     ref_points = pts[ref_sel].astype(np.float32)
     ref_feats = feats[ref_sel]
 
+    def ghost_cloud():
+        """Per-view clutter: a small floating blob seen by only one scan
+        (reconstruction artifacts / objects moved between captures)."""
+        cnt = int(rng.integers(max(1, n // 100), max(2, n // 40)))
+        center = np.array(
+            [rng.uniform(0.2, ext[0] - 0.2),
+             rng.uniform(0.1, h * 0.8),
+             rng.uniform(0.2, ext[1] - 0.2)]
+        )
+        p = (center + rng.normal(scale=0.08, size=(cnt, 3))).astype(np.float32)
+        f = np.concatenate(
+            [rng.uniform(0.7, 1.0, size=(cnt, 1)),
+             np.broadcast_to(rng.uniform(30, 230, 3), (cnt, 3)).copy()],
+            axis=1,
+        ).astype(np.float32)
+        return p, f
+
+    ghost_rp, ghost_rf = ghost_cloud()
+    ghost_sp, ghost_sf = ghost_cloud()
+    ref_points = np.concatenate([ref_points, ghost_rp])
+    ref_feats = np.concatenate([ref_feats, ghost_rf])
+
     from scipy.spatial.transform import Rotation
 
     s = rng.uniform(*scale_range)
@@ -117,8 +144,9 @@ def random_pair(
     m[:3, :3] = s * r
     m[:3, 3] = t
     inv = np.linalg.inv(m)
-    src_points = (pts[src_sel] @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
-    src_feats = feats[src_sel]
+    src_scene = np.concatenate([pts[src_sel].astype(np.float32), ghost_sp])
+    src_points = (src_scene @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    src_feats = np.concatenate([feats[src_sel], ghost_sf])
     # measurement noise
     ref_points += rng.normal(scale=0.0025, size=ref_points.shape).astype(np.float32)
     src_points += rng.normal(scale=0.0025, size=src_points.shape).astype(np.float32)
