@@ -43,6 +43,10 @@ def main():
     )
     parser.add_argument("--synthetic_pairs", type=int, default=256)
     parser.add_argument("--distributed", action="store_true", help="multi-host: call jax.distributed.initialize()")
+    parser.add_argument(
+        "--tiny", action="store_true",
+        help="tiny capacities — CPU smoke run of the full CLI path",
+    )
     args = parser.parse_args()
 
     import jax
@@ -76,9 +80,13 @@ def main():
     from gaussreg_tpu.parallel.mesh import make_mesh, shard_batch_pytree
 
     cfg = make_cfg()
+    if args.tiny:
+        from gaussreg_tpu.config import make_tiny_cfg
+
+        cfg = make_tiny_cfg()
     max_epoch = args.max_epoch or cfg.optim.max_epoch
-    logger = get_logger(os.path.join(args.output_dir, "train.log") if jax.process_index() == 0 else None)
     os.makedirs(args.output_dir, exist_ok=True)
+    logger = get_logger(os.path.join(args.output_dir, "train.log") if jax.process_index() == 0 else None)
 
     devices = jax.devices()
     world = len(devices)
