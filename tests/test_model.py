@@ -169,3 +169,48 @@ def test_model_output_transform_aligns_when_scores_forced():
     ref, fr, src, fs, m = _synthetic_pair()
     aligned = np.asarray(apply_transform(jnp.asarray(src), jnp.asarray(m)))
     assert np.abs(aligned - ref).max() < 1e-4
+
+
+def test_shared_geometry_matches_per_layer():
+    """backbone.shared_kpconv_geometry=True must be numerically identical to
+    the per-layer path when every conv uses the default deterministic kernel
+    disposition (the only case the shared mode is valid for)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from gaussreg_tpu.config import make_tiny_cfg
+    from gaussreg_tpu.data.pipeline import make_pair_batch
+    from gaussreg_tpu.data.synthetic import random_pair
+    from gaussreg_tpu.models.registration import create_model
+
+    cfg = make_tiny_cfg()
+    cfg_off = dataclasses.replace(
+        cfg,
+        backbone=dataclasses.replace(
+            cfg.backbone, shared_kpconv_geometry=False
+        ),
+    )
+    rp, rf, sp, sf, m = random_pair(cfg, 3, num_points=500)
+    batch = make_pair_batch(cfg, rp, rf, sp, sf, m)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sample": jax.random.PRNGKey(0),
+        "ransac": jax.random.PRNGKey(0),
+    }
+    outs = []
+    params = None
+    for c in (cfg, cfg_off):
+        model = create_model(c)
+        if params is None:
+            params = jax.jit(
+                lambda b: model.init(rngs, b, train=False, with_transform=False)
+            )(batch)
+        out = jax.jit(
+            lambda p, b, mdl=model: mdl.apply(
+                p, b, train=False, with_transform=False
+            )
+        )(params, batch)
+        outs.append(np.asarray(out["ref_feats_c"]))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
