@@ -12,7 +12,8 @@ mkdir -p "$OUT"
 i=0
 while [ "$i" -lt 40 ]; do
     python tools/trainval.py --synthetic --synthetic_pairs 256 \
-        --output_dir "$OUT" --resume --log_steps 25 --val_pairs 8 "$@" \
+        --output_dir "$OUT" --resume --log_steps 25 --val_pairs 8 \
+        --lr 5e-4 --scheduler cosine "$@" \
         >> "$OUT/launch.log" 2>&1
     rc=$?
     echo "[train_launch] trainval exit rc=$rc attempt=$i $(date -u +%H:%M:%S)" >> "$OUT/launch.log"
