@@ -21,15 +21,13 @@ Design:
   The forward rasterizer reads this UNALIGNED layout directly: a tile's first
   and last 128-wide block may be shared with the neighbouring tile, and the
   kernel row-masks foreign rows (alpha = 0 contributes nothing).
-- The backward kernel needs a private, block-aligned gradient slot per pair
-  (two tiles may not DMA the same block). Giving every tile exactly ONE
-  block of slack makes the private position a pure elementwise function of
-  the sorted position: priv(p) = p + tile(p) * chunk, with tile(p) read off
-  the sorted key. No table lookups (a 600-entry table gathered at 1.6M
-  indices costs ~10 ms on TPU — measured).
-- sort2 re-sorts (linear index, priv position) to deliver the (G, mt)
-  per-gaussian position table that the gradient-accumulation VJP gathers
-  through.
+- The backward pass runs over a SATURATION-COMPACTED block list (kernels.py):
+  the forward kernel reports per-tile how many chunks it composited before
+  every pixel saturated, and only those blocks are re-walked. Binning
+  therefore exports `lin_sorted` — the sorted-order permutation of the
+  (g, slot) linear ids — from which the VJP builds the (G, mt) gradient
+  position table with one sort at backward time (forward-only renders never
+  pay for it).
 """
 
 from __future__ import annotations
@@ -42,17 +40,19 @@ import jax.numpy as jnp
 
 
 class TileBinning(NamedTuple):
-    """Sorted pair list + per-gaussian gradient positions.
+    """Sorted pair list + the sorted-order (g, slot) permutation.
 
     `sorted_gid[p]` is the gaussian id of the p-th pair in (tile, depth)
     order, `G` (sentinel) for invalid/padding slots. Tile t's pairs are
-    `sorted_gid[starts[t] : starts[t + 1]]`. `pos[g, s]` is the position of
-    gaussian g's s-th pair in the backward kernel's private gradient layout
-    (== priv_capacity for unused slots)."""
+    `sorted_gid[starts[t] : starts[t + 1]]`. `lin_sorted[p]` is the linear
+    (g * mt + slot) id of the p-th sorted pair over the FULL (G, mt) slot
+    grid (length g * mt even when the pair capacity truncates sorted_gid) —
+    the backward VJP sorts it against the compacted gradient positions to
+    build the per-gaussian accumulation table."""
 
     sorted_gid: jnp.ndarray  # (cap,) int32
     starts: jnp.ndarray  # (num_tiles + 1,) int32 element offsets
-    pos: jnp.ndarray  # (G, mt) int32 private gradient positions
+    lin_sorted: jnp.ndarray  # (G * mt,) int32 sorted (g, slot) linear ids
     tile_counts: jnp.ndarray  # (num_tiles,) int32
     num_pairs: jnp.ndarray  # () int32 — true pair count
     overflow: jnp.ndarray  # () int32 — pairs dropped by the per-gaussian cap
@@ -178,17 +178,6 @@ def bin_gaussians(
     if pair_capacity_blocks is None:
         pair_capacity_blocks = (g * mt + chunk - 1) // chunk
     cap = pair_capacity_blocks * chunk
-    priv_cap = (pair_capacity_blocks + num_tiles) * chunk
-
-    # private gradient position: p + tile(p) * chunk (see module docstring)
-    p_iota = jnp.arange(g * mt, dtype=jnp.int32)
-    t_of_p = (key_s >> jnp.uint32(depth_bits)).astype(jnp.int32)
-    pair_ok = (t_of_p < num_tiles) & (p_iota < cap)
-    priv = jnp.where(pair_ok, p_iota + t_of_p * chunk, priv_cap)
-
-    # sort2: back to (g, slot) order -> (G, mt) position table
-    _, pos = jax.lax.sort((lin_s, priv), num_keys=1)
-    pos = pos.reshape(g, mt)
 
     sorted_gid = gid_s[:cap]
     if cap > g * mt:
@@ -199,7 +188,7 @@ def bin_gaussians(
     return TileBinning(
         sorted_gid=sorted_gid,
         starts=starts,
-        pos=pos,
+        lin_sorted=lin_s,
         tile_counts=tile_counts,
         num_pairs=num_pairs,
         overflow=overflow,

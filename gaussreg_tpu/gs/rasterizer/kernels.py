@@ -26,12 +26,32 @@ Key ideas (TPU-native; see SURVEY.md §7.2 step 6):
 
 The backward runs in forward order (prefix recomputation): suffix color
 inner products come from <d, S_j> = <d, final_rgb> - <d, prefix_j>.
-Per-pair gradient blocks are written chunk-by-chunk into a PRIVATE
-block-aligned layout (tile t's chunk k lands at block start_blk[t] + t + k,
-so two tiles never DMA the same block — atomics-free). Accumulation onto
-gaussians is one XLA row-gather through the (G, mt) position table from
-binning plus a slot-axis sum; the chain from the quadratic coefficients back
+
+SATURATION COMPACTION: the forward kernel early-terminates each tile once
+every pixel's transmittance drops below T_EPS and reports the number of
+chunks it actually composited (`kend`, one int per tile). Only those blocks
+carry gradient — the function being differentiated never read the rest. The
+backward therefore re-walks a COMPACTED block list: tile t's kept input
+blocks are gathered to the contiguous range [offs[t], offs[t+1]) where
+offs = cumsum(kend), and per-pair gradient blocks are written back to the
+same compacted range — private per tile BY CONSTRUCTION (boundary blocks
+shared by two tiles in the sorted layout are duplicated per tile), so the
+writes are atomics-free with zero slack. On saturated scenes this shrinks
+the gradient buffer far below the XLA row-gather cost knee (~13 MB VMEM
+staging; PERF.md), which is what the accumulation gather is bound by.
+Accumulation onto gaussians is one XLA row-gather through a (G, mt)
+position table built at backward time (one sort of binning's `lin_sorted`
+against the compacted positions; per-tile values are spread to the 1.6M
+sorted pair positions by scatter-delta + associative_scan segment
+broadcast — NOT by a per-pair table lookup, which costs ~10 ms at this
+size) plus a slot-axis sum; the chain from the quadratic coefficients back
 to means2d/conics/opacity is ordinary autodiff outside the kernel.
+
+`bwd_capacity_blocks` statically caps the compacted buffer. The default
+(num_blocks + num_tiles) can never overflow; callers that render saturated
+scenes repeatedly (fine registration, bench) should size it from the
+`sat_blocks` forward output — pairs beyond the cap lose their gradient and
+are counted there, never silently dropped.
 
 Pair channel layout (16 sublanes per block):
   0..5: quadratic coeffs [a0 + log(op), ax, ay, axx, axy, ayy]
@@ -119,7 +139,7 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int, nblk: int)
     npix = tile_h * tile_w
     cap = nblk * chunk_n
 
-    def kernel(starts_ref, pair_ref, out_ref, chunk, sem, rgb_acc, t_row):
+    def kernel(starts_ref, pair_ref, out_ref, kend_ref, chunk, sem, rgb_acc, t_row):
         # rgb_acc rows: 0..3 = r, g, b, depth accumulators; row 4 = final T
         t = pl.program_id(0)
         c0, c1, start_blk, num_chunks = _segment(starts_ref, t, chunk_n, cap)
@@ -185,25 +205,31 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int, nblk: int)
 
         rgb_acc[4:5] = t_row[...]
         out_ref[0] = rgb_acc[...]
+        # chunks composited before saturation: the backward re-walks exactly
+        # these (module docstring, SATURATION COMPACTION)
+        kend_ref[0, 0] = k_end
 
     return kernel
 
 
-def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int, nblk: int):
+def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int, orig_nblk: int):
     npix = tile_h * tile_w
-    cap = nblk * chunk_n
+    cap = orig_nblk * chunk_n  # ORIGINAL sorted-layout element capacity:
+    # c0/c1/gpos index the uncompacted pair order for row masking
 
     def kernel(
-        starts_ref, pair_ref, ct_ref, grad_out_ref,
+        starts_ref, offs_ref, pair_ref, ct_ref, grad_out_ref,
         chunk, gchunk, sem, gsem, t_row, vp_row,
     ):
         # ct_ref block: (1, 7, NPIX) = [d_r, d_g, d_b, d_depth, d_T,
         # T_final, v] with v = sum over the 4 color channels of
-        # d_ch * final_ch. Per-pair gradient blocks (NCHAN, K) go to the
-        # PRIVATE aligned layout: tile t's chunk k at block
-        # start_blk + t + k (no block is ever shared between tiles).
+        # d_ch * final_ch. Inputs AND per-pair gradient blocks live in the
+        # saturation-compacted layout: tile t owns blocks
+        # [offs_ref[t], offs_ref[t + 1]) exclusively (module docstring).
         t = pl.program_id(0)
-        c0, c1, start_blk, num_chunks = _segment(starts_ref, t, chunk_n, cap)
+        c0, c1, start_blk, _ = _segment(starts_ref, t, chunk_n, cap)
+        base = offs_ref[t]
+        num_chunks = offs_ref[t + 1] - base
 
         phi = _phi_and_masks(t, ntx, tile_h, tile_w)
         l_strict, l_incl = _tri_matrices(chunk_n)
@@ -219,13 +245,13 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int, nblk: int
 
         def in_dma(slot, k):
             return pltpu.make_async_copy(
-                pair_ref.at[start_blk + k], chunk.at[slot], sem.at[slot]
+                pair_ref.at[base + k], chunk.at[slot], sem.at[slot]
             )
 
         def out_dma(slot, k):
             return pltpu.make_async_copy(
                 gchunk.at[slot],
-                grad_out_ref.at[start_blk + t + k],
+                grad_out_ref.at[base + k],
                 gsem.at[slot],
             )
 
@@ -289,44 +315,22 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int, nblk: int
             )
             return jnp.max(new_t)
 
-        def cond(carry):
-            k, tmax = carry
-            return (k < num_chunks) & (tmax >= T_EPS)
+        def body(k, carry):
+            chunk_body(k, None)
+            return carry
 
-        def body(carry):
-            k, _ = carry
-            tmax = chunk_body(k, None)
-            return k + 1, tmax
-
-        k_end, _ = jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
-
-        # drain the outstanding input prefetch after an early exit
-        @pl.when(k_end < num_chunks)
-        def _():
-            in_dma(jax.lax.rem(k_end, 2), k_end).wait()
+        # no early-exit condition: num_chunks IS the forward's saturation
+        # count, so every iteration carries gradient
+        jax.lax.fori_loop(0, num_chunks, body, 0)
 
         # drain outstanding gradient writes
-        @pl.when(k_end >= 1)
+        @pl.when(num_chunks >= 1)
         def _():
-            out_dma(jax.lax.rem(k_end - 1, 2), k_end - 1).wait()
+            out_dma(jax.lax.rem(num_chunks - 1, 2), num_chunks - 1).wait()
 
-        @pl.when(k_end >= 2)
+        @pl.when(num_chunks >= 2)
         def _():
-            out_dma(jax.lax.rem(k_end - 2, 2), k_end - 2).wait()
-
-        # early-terminated chunks still own gradient blocks (the position
-        # table points at them): zero-fill (pure DMA, no compute)
-        @pl.when(k_end < num_chunks)
-        def _():
-            gchunk[0] = jnp.zeros((NCHAN, chunk_n), jnp.float32)
-
-            def zbody(k, _):
-                dma = out_dma(0, k)
-                dma.start()
-                dma.wait()
-                return 0
-
-            jax.lax.fori_loop(k_end, num_chunks, zbody, 0)
+            out_dma(jax.lax.rem(num_chunks - 2, 2), num_chunks - 2).wait()
 
     return kernel
 
@@ -370,7 +374,10 @@ def _rasterize_fwd_impl(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 5, npix), lambda t, starts: (t, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, 5, npix), lambda t, starts: (t, 0, 0)),
+            pl.BlockSpec((1, 1), lambda t, starts: (t, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, NCHAN, chunk_n), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -378,34 +385,42 @@ def _rasterize_fwd_impl(
             pltpu.VMEM((1, npix), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out, kend = pl.pallas_call(
         _forward_kernel(ntx, tile_h, tile_w, chunk_n, nblk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 5, npix), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 5, npix), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1), jnp.int32),
+        ],
         interpret=jax.default_backend() != "tpu",
     )(starts, pair_blocks)
-    return _tiles_to_image(out, nty, ntx, tile_h, tile_w, 5)
+    return _tiles_to_image(out, nty, ntx, tile_h, tile_w, 5), kend[:, 0]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "tile_h", "tile_w")
+    jax.jit,
+    static_argnames=("orig_nblk", "height", "width", "tile_h", "tile_w"),
 )
 def _rasterize_bwd_impl(
-    pair_blocks, starts, ct_planes, height, width, tile_h, tile_w
+    pair_blocks2, starts, offs, ct_planes, orig_nblk, height, width,
+    tile_h, tile_w,
 ):
-    chunk_n = pair_blocks.shape[2]
-    nblk = pair_blocks.shape[0]
+    """Backward over the saturation-compacted block list: tile t's kept
+    input blocks AND its gradient output blocks live at [offs[t],
+    offs[t + 1]) of the (bwd_blocks, NCHAN, CHUNK) buffers."""
+    chunk_n = pair_blocks2.shape[2]
+    bwd_blocks = pair_blocks2.shape[0]
     ntx = width // tile_w
     nty = height // tile_h
     num_tiles = ntx * nty
     npix = tile_h * tile_w
     ct_tiles = _image_to_tiles(ct_planes, nty, ntx, tile_h, tile_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 7, npix), lambda t, starts: (t, 0, 0)),
+            pl.BlockSpec((1, 7, npix), lambda t, starts, offs: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -418,28 +433,41 @@ def _rasterize_bwd_impl(
         ],
     )
     grads = pl.pallas_call(
-        _backward_kernel(ntx, tile_h, tile_w, chunk_n, nblk),
+        _backward_kernel(ntx, tile_h, tile_w, chunk_n, orig_nblk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (nblk + num_tiles, NCHAN, chunk_n), jnp.float32
+            (bwd_blocks, NCHAN, chunk_n), jnp.float32
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() != "tpu",
-    )(starts, pair_blocks, ct_tiles)
+    )(starts, offs, pair_blocks2, ct_tiles)
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _segment_broadcast(vals, starts, length):
+    """Spread per-tile values to per-sorted-position values: out[p] =
+    vals[t] for p in [starts[t], starts[t + 1]). Scatter the tile-to-tile
+    deltas at the segment starts and prefix-sum with associative_scan —
+    O(length) elementwise instead of a per-position table lookup (a
+    600-entry table gathered at 1.6M indices costs ~10 ms on TPU;
+    PERF.md)."""
+    deltas = vals - jnp.concatenate([jnp.zeros((1,), vals.dtype), vals[:-1]])
+    buf = jnp.zeros((length + 1,), vals.dtype).at[starts[:-1]].add(deltas)
+    return jax.lax.associative_scan(jnp.add, buf)[:length]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def rasterize_gaussians(
     gdata,
     sorted_gid,
     starts,
-    pos,
+    lin_sorted,
     height: int,
     width: int,
     tile_h: int = 16,
     tile_w: int = 32,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    bwd_capacity_blocks: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Composite per-gaussian channel rows into an image via the sorted
     (gaussian, tile) pair list from binning.
 
@@ -448,31 +476,79 @@ def rasterize_gaussians(
             layout); row G is the sentinel (a0 = -1e30).
         sorted_gid: (cap,) int32 pair ids in (tile, depth) order.
         starts: (num_tiles + 1,) int32 element offsets of tile segments.
-        pos: (G, mt) int32 private gradient positions (binning.py).
+        lin_sorted: (G * mt,) int32 sorted (g, slot) linear ids (binning).
+        bwd_capacity_blocks: static cap on the compacted backward buffers;
+            None = num_blocks + num_tiles (never overflows). Size it from
+            the sat_blocks output for saturated scenes.
 
     Returns:
-        rgb (H, W, 3), depth (H, W), transmittance (H, W).
+        rgb (H, W, 3), depth (H, W), transmittance (H, W),
+        sat_blocks () int32 — total post-saturation-compaction block
+        demand of the backward (tune bwd_capacity_blocks to >= this).
     """
     pair_blocks = _build_pair_blocks(gdata, sorted_gid)
-    out = _rasterize_fwd_impl(pair_blocks, starts, height, width, tile_h, tile_w)
-    return jnp.moveaxis(out[:3], 0, -1), out[3], out[4]
-
-
-def _fwd(gdata, sorted_gid, starts, pos, height, width, tile_h, tile_w):
-    pair_blocks = _build_pair_blocks(gdata, sorted_gid)
-    out = _rasterize_fwd_impl(pair_blocks, starts, height, width, tile_h, tile_w)
-    rgb = jnp.moveaxis(out[:3], 0, -1)
-    depth = out[3]
-    t = out[4]
-    return (rgb, depth, t), (
-        pair_blocks, starts, pos, gdata.shape[0], sorted_gid.shape[0],
-        rgb, depth, t,
+    out, kend = _rasterize_fwd_impl(
+        pair_blocks, starts, height, width, tile_h, tile_w
+    )
+    return (
+        jnp.moveaxis(out[:3], 0, -1), out[3], out[4],
+        jnp.sum(kend).astype(jnp.int32),
     )
 
 
-def _bwd(height, width, tile_h, tile_w, residuals, cts):
-    pair_blocks, starts, pos, g1, cap, rgb_final, depth_final, t_final = residuals
-    d_rgb, d_depth, d_t = cts
+def _fwd(
+    gdata, sorted_gid, starts, lin_sorted, height, width, tile_h, tile_w,
+    bwd_capacity_blocks,
+):
+    pair_blocks = _build_pair_blocks(gdata, sorted_gid)
+    out, kend = _rasterize_fwd_impl(
+        pair_blocks, starts, height, width, tile_h, tile_w
+    )
+    rgb = jnp.moveaxis(out[:3], 0, -1)
+    depth = out[3]
+    t = out[4]
+    sat_blocks = jnp.sum(kend).astype(jnp.int32)
+    return (rgb, depth, t, sat_blocks), (
+        pair_blocks, starts, lin_sorted, kend, gdata.shape[0],
+        sorted_gid.shape[0], rgb, depth, t,
+    )
+
+
+def _bwd(height, width, tile_h, tile_w, bwd_capacity_blocks, residuals, cts):
+    (
+        pair_blocks, starts, lin_sorted, kend, g1, cap,
+        rgb_final, depth_final, t_final,
+    ) = residuals
+    d_rgb, d_depth, d_t = cts[0], cts[1], cts[2]  # cts[3] (sat_blocks): int
+    num_tiles = starts.shape[0] - 1
+    nblk = pair_blocks.shape[0]
+    chunk_n = pair_blocks.shape[2]
+    if bwd_capacity_blocks is None:
+        bwd_capacity_blocks = nblk + num_tiles
+    nblk2 = bwd_capacity_blocks
+
+    # ---- saturation-compacted block map (module docstring) ----
+    start_blk = starts[:-1] // chunk_n  # (T,) first original block per tile
+    offs = jnp.minimum(
+        jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(kend, dtype=jnp.int32)]
+        ),
+        nblk2,
+    )  # (T + 1,) compacted block offsets, clipped to capacity
+    # tile id per compacted block: marks at segment starts + prefix sum
+    marks = (
+        jnp.zeros((nblk2 + 1,), jnp.int32).at[offs[1:-1]].add(1)[:nblk2]
+    )
+    tile_of = jnp.cumsum(marks)  # (nblk2,)
+    k_of = jnp.arange(nblk2, dtype=jnp.int32) - offs[tile_of]
+    blk_src = jnp.clip(start_blk[tile_of] + k_of, 0, nblk - 1)
+    # gather the kept input blocks (boundary blocks shared by two tiles are
+    # duplicated — gradient writes become tile-private with zero slack)
+    pair_blocks2 = (
+        pair_blocks.reshape(nblk, -1)[blk_src]
+        .reshape(nblk2, NCHAN, chunk_n)
+    )
+
     d_planes = jnp.concatenate(
         [jnp.moveaxis(d_rgb, -1, 0), d_depth[None]], axis=0
     )  # (4, H, W)
@@ -484,21 +560,41 @@ def _bwd(height, width, tile_h, tile_w, residuals, cts):
         [d_planes, d_t[None], t_final[None], v[None]], axis=0
     )
     grads = _rasterize_bwd_impl(
-        pair_blocks, starts, ct_planes, height, width, tile_h, tile_w
+        pair_blocks2, starts, offs, ct_planes, nblk, height, width,
+        tile_h, tile_w,
     )
+
+    # ---- (G, mt) position table into the compacted gradient layout ----
+    # per-tile end block (saturation- and capacity-clipped) and the
+    # original->compacted block shift, spread to sorted pair positions
+    kclip = offs[1:] - offs[:-1]  # (T,) kept chunks per tile
+    length = lin_sorted.shape[0]  # G * mt
+    end_blk_p = _segment_broadcast(start_blk + kclip, starts, length)
+    shift_p = _segment_broadcast(offs[:-1] - start_blk, starts, length)
+    p = jnp.arange(length, dtype=jnp.int32)
+    kept = (
+        (p // chunk_n < end_blk_p)
+        & (p < starts[num_tiles])  # real pairs only
+        & (p < cap)  # pair-capacity truncation
+    )
+    sent = nblk2 * chunk_n
+    priv2 = jnp.where(kept, p + shift_p * chunk_n, sent)
+    _, pos2 = jax.lax.sort((lin_sorted, priv2), num_keys=1)
+    gnum = g1 - 1
+    pos2 = pos2.reshape(gnum, length // gnum)
+
     # accumulate per-pair gradients onto gaussians: one row-gather through
-    # the (G, mt) position table + slot sum. The pos sentinel hits the
-    # appended zero row.
+    # the position table + slot sum. Sentinel hits the appended zero row.
     grows = grads.transpose(0, 2, 1).reshape(-1, NCHAN)
     grows = jnp.concatenate([grows, jnp.zeros((1, NCHAN), grows.dtype)])
-    picked = grows[pos]  # (G, mt, NCHAN)
+    picked = grows[pos2]  # (G, mt, NCHAN)
     d_gdata = jnp.sum(picked, axis=1)  # (G, NCHAN)
     d_gdata = jnp.pad(d_gdata, ((0, g1 - d_gdata.shape[0]), (0, 0)))
     return (
         d_gdata,
         np.zeros((cap,), dtype=jax.dtypes.float0),
         np.zeros(starts.shape, dtype=jax.dtypes.float0),
-        np.zeros(pos.shape, dtype=jax.dtypes.float0),
+        np.zeros(lin_sorted.shape, dtype=jax.dtypes.float0),
     )
 
 

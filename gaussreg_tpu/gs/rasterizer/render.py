@@ -28,6 +28,8 @@ class RenderOutput(NamedTuple):
     num_pairs: jnp.ndarray  # () int32
     overflow: jnp.ndarray  # () int32 pairs dropped by the per-gaussian cap
     overflow_cap: jnp.ndarray  # () int32 pairs dropped by pair capacity
+    sat_blocks: jnp.ndarray  # () int32 backward compacted-block demand
+    # (kernels.py SATURATION COMPACTION; size bwd_capacity_blocks >= this)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -44,6 +46,7 @@ def _round_up(x: int, m: int) -> int:
         "sh_degree",
         "use_pallas",
         "pair_capacity_blocks",
+        "bwd_capacity_blocks",
     ),
 )
 def _render_impl(
@@ -61,6 +64,7 @@ def _render_impl(
     sh_degree,
     use_pallas,
     pair_capacity_blocks,
+    bwd_capacity_blocks,
 ):
     fx, fy, cx, cy, width, height = camera_static
     camera = Camera(w2c, fx, fy, cx, cy, width, height)
@@ -81,14 +85,14 @@ def _render_impl(
         rgb, depth, t = render_reference(proj, width, height)
         zero = jnp.zeros((), jnp.int32)
         return RenderOutput(
-            rgb, depth, t, proj.radii, jnp.sum(proj.valid), zero, zero
+            rgb, depth, t, proj.radii, jnp.sum(proj.valid), zero, zero, zero
         )
 
     hp = _round_up(height, tile_h)
     wp = _round_up(width, tile_w)
-    rgb, depth, t, num_pairs, overflow, overflow_cap = _bin_and_rasterize(
+    rgb, depth, t, num_pairs, overflow, overflow_cap, sat = _bin_and_rasterize(
         proj, hp, wp, tile_h, tile_w, max_tiles_per_gaussian,
-        pair_capacity_blocks,
+        pair_capacity_blocks, bwd_capacity_blocks,
     )
     return RenderOutput(
         rgb[:height, :width],
@@ -98,12 +102,13 @@ def _render_impl(
         num_pairs,
         overflow,
         overflow_cap,
+        sat,
     )
 
 
 def _bin_and_rasterize(
     proj, hp, wp, tile_h, tile_w, max_tiles_per_gaussian,
-    pair_capacity_blocks,
+    pair_capacity_blocks, bwd_capacity_blocks=None,
 ):
     """Binning + Pallas tile compositing over an (hp, wp) image whose pixel
     frame matches proj.means2d (callers shard by shifting means2d)."""
@@ -137,17 +142,21 @@ def _bin_and_rasterize(
     sentinel = jnp.zeros((1, kernels.NCHAN), jnp.float32).at[0, 0].set(-1e30)
     gdata = jnp.concatenate([gdata, sentinel], axis=0)
 
-    rgb, depth, t = kernels.rasterize_gaussians(
+    rgb, depth, t, sat_blocks = kernels.rasterize_gaussians(
         gdata,
         binning.sorted_gid,
         binning.starts,
-        binning.pos,
+        binning.lin_sorted,
         hp,
         wp,
         tile_h,
         tile_w,
+        bwd_capacity_blocks,
     )
-    return rgb, depth, t, binning.num_pairs, binning.overflow, binning.overflow_cap
+    return (
+        rgb, depth, t, binning.num_pairs, binning.overflow,
+        binning.overflow_cap, sat_blocks,
+    )
 
 
 def render(
@@ -164,6 +173,7 @@ def render(
     sh_degree: int = 3,
     use_pallas: bool | None = None,
     pair_capacity_blocks: int | None = None,
+    bwd_capacity_blocks: int | None = None,
 ) -> RenderOutput:
     """Differentiable render of a 3DGS model from `camera`.
 
@@ -175,6 +185,10 @@ def render(
         pair_capacity_blocks: static total pair capacity in CHUNK-sized
             blocks (default: worst case G*mt; overflow is counted in
             RenderOutput.overflow_cap either way).
+        bwd_capacity_blocks: static cap on the backward's saturation-
+            compacted buffers (kernels.py); None = never-overflow default.
+            For repeated renders of saturated scenes, size it from
+            RenderOutput.sat_blocks to shrink the gradient pipeline.
     """
     if valid is None:
         valid = jnp.ones(means3d.shape[0], bool)
@@ -203,6 +217,7 @@ def render(
         sh_degree,
         bool(use_pallas),
         pair_capacity_blocks,
+        bwd_capacity_blocks,
     )
 
 
@@ -267,12 +282,15 @@ def render_sharded(
         y_off = (jax.lax.axis_index(axis_name) * local_h).astype(jnp.float32)
         shift = jnp.stack([jnp.float32(0.0), y_off])
         proj = proj._replace(means2d=proj.means2d - shift)
-        rgb, depth, t, num_pairs, overflow, overflow_cap = _bin_and_rasterize(
+        (
+            rgb, depth, t, num_pairs, overflow, overflow_cap, sat_blocks,
+        ) = _bin_and_rasterize(
             proj, local_h, wp, tile_h, tile_w, max_tiles_per_gaussian,
             pair_capacity_blocks,
         )
         scalars = jax.lax.psum(
-            jnp.stack([num_pairs, overflow, overflow_cap]), axis_name
+            jnp.stack([num_pairs, overflow, overflow_cap, sat_blocks]),
+            axis_name,
         )
         return rgb, depth, t, proj.radii, scalars
 
@@ -296,4 +314,5 @@ def render_sharded(
         scalars[0],
         scalars[1],
         scalars[2],
+        scalars[3],
     )

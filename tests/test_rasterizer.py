@@ -83,7 +83,7 @@ def test_binning_covers_projected_gaussians():
     assert int(b.overflow_cap) == 0
     assert (np.diff(starts) >= 0).all()
     gid = np.asarray(b.sorted_gid)
-    pos = np.asarray(b.pos)
+    lin = np.asarray(b.lin_sorted)
     m2d = np.asarray(proj.means2d)
     r = np.asarray(proj.radii)
     d = np.asarray(proj.depths)
@@ -92,7 +92,6 @@ def test_binning_covers_projected_gaussians():
     # valid prefix holds real ids, the tail is sentinel padding
     assert (gid[:num_pairs] < ng).all()
     assert (gid[num_pairs:] == ng).all()
-    priv_seen = set()
     for t in range(num_tiles):
         lo, hi = starts[t], starts[t + 1]
         ty, tx = divmod(t, ntx)
@@ -103,17 +102,11 @@ def test_binning_covers_projected_gaussians():
         # depth-sorted within each tile
         seg = d[gid[lo:hi]]
         assert (np.diff(seg) >= -1e-6).all()
-        # every pair's private gradient position is p + t*128, present in
-        # its gaussian's row of the position table, and globally unique
-        for p in range(lo, hi):
-            want = p + t * 128
-            assert want in pos[gid[p]], (t, p)
-            assert want not in priv_seen
-            priv_seen.add(want)
-    # unused table slots hold the sentinel; total real slots == num_pairs
-    priv_cap = (gid.shape[0] // 128 + num_tiles) * 128
-    assert (pos[pos != priv_cap] >= 0).all()
-    assert (pos != priv_cap).sum() == num_pairs
+    # lin_sorted is the sorted-order permutation of the full (G, mt) slot
+    # grid; its quotient recovers the gaussian id of every real pair (the
+    # backward VJP relies on both properties to build its position table)
+    assert np.array_equal(np.sort(lin), np.arange(ng * mt))
+    assert np.array_equal(lin[:num_pairs] // mt, gid[:num_pairs])
 
 
 def test_pallas_matches_reference_forward():

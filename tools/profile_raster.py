@@ -114,7 +114,7 @@ def main():
                           wp, hp, tile_w=tile_w, tile_h=tile_h,
                           max_tiles_per_gaussian=mt, chunk=kernels.CHUNK)
         return (b.sorted_gid[::4096].sum() + b.starts[-1]
-                + b.pos[::997, 0].sum()).astype(jnp.float32)
+                + b.lin_sorted[::997].sum()).astype(jnp.float32)
     timed_slope("binning (sort-based, materialized)", bin_only)
 
     binning = jax.jit(functools.partial(
@@ -141,32 +141,67 @@ def main():
         return blocks[:, 0, :].sum()
     timed_slope("gdata+pair-block build fwd", gather_fwd)
 
-    # --- stage: accumulation gather alone (the VJP's pos-table gather)
+    # --- stage: pallas kernels on fixed pair blocks
     nblk = binning.sorted_gid.shape[0] // kernels.CHUNK
     ntiles = (wp // tile_w) * (hp // tile_h)
-    grows0 = jnp.zeros(((nblk + ntiles) * kernels.CHUNK + 1, kernels.NCHAN),
-                       jnp.float32)
-    def accum_only(i, gr):
-        picked = gr[jnp.minimum(binning.pos + i % 2, gr.shape[0] - 1)]
-        return picked.sum(axis=1)[:, 0].sum()
-    timed_slope("accum pos-gather + slot sum", accum_only, big_args=(grows0,))
-
-    # --- stage: pallas kernels on fixed pair blocks
     gdata0 = jax.jit(make_gdata)(0)
     pair_blocks = jax.jit(kernels._build_pair_blocks)(gdata0, binning.sorted_gid)
 
     def pallas_fwd(i, pb):
-        out = kernels._rasterize_fwd_impl(
+        out, kend = kernels._rasterize_fwd_impl(
             pb + 1e-9 * i, binning.starts, hp, wp, tile_h, tile_w)
-        return out.sum()
+        return out.sum() + kend.sum()
     timed_slope("pallas fwd kernel", pallas_fwd, big_args=(pair_blocks,))
 
+    # saturation-compacted backward inputs (kernels.py module docstring)
+    chunk_n = kernels.CHUNK
+    _, kend = kernels._rasterize_fwd_impl(
+        pair_blocks, binning.starts, hp, wp, tile_h, tile_w)
+    nblk2 = nblk + ntiles
+    offs = jnp.minimum(
+        jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(kend, dtype=jnp.int32)]
+        ),
+        nblk2,
+    )
+    start_blk = binning.starts[:-1] // chunk_n
+    marks = jnp.zeros((nblk2 + 1,), jnp.int32).at[offs[1:-1]].add(1)[:nblk2]
+    tile_of = jnp.cumsum(marks)
+    k_of = jnp.arange(nblk2, dtype=jnp.int32) - offs[tile_of]
+    blk_src = jnp.clip(start_blk[tile_of] + k_of, 0, nblk - 1)
+    pair_blocks2 = pair_blocks.reshape(nblk, -1)[blk_src].reshape(
+        nblk2, kernels.NCHAN, chunk_n)
+    print(f"  sat_blocks={int(kend.sum())} of nblk={nblk}")
+
+    # --- stage: backward position-table build + accumulation gather
+    grows0 = jnp.zeros((nblk2 * chunk_n + 1, kernels.NCHAN), jnp.float32)
+    cap_el = binning.sorted_gid.shape[0]
+    def accum_only(i, gr):
+        kclip = offs[1:] - offs[:-1]
+        length = binning.lin_sorted.shape[0]
+        end_blk_p = kernels._segment_broadcast(
+            start_blk + kclip, binning.starts, length)
+        shift_p = kernels._segment_broadcast(
+            offs[:-1] - start_blk, binning.starts, length)
+        p = jnp.arange(length, dtype=jnp.int32)
+        kept = ((p // chunk_n < end_blk_p)
+                & (p < binning.starts[-1]) & (p < cap_el))
+        priv2 = jnp.where(kept, p + shift_p * chunk_n + i % 2,
+                          nblk2 * chunk_n)
+        _, pos2 = jax.lax.sort((binning.lin_sorted, priv2), num_keys=1)
+        pos2 = pos2.reshape(n, length // n)
+        picked = gr[jnp.minimum(pos2, gr.shape[0] - 1)]
+        return picked.sum(axis=1)[:, 0].sum()
+    timed_slope("bwd table build + accum gather", accum_only, big_args=(grows0,))
+
     ct0 = jnp.ones((7, hp, wp), jnp.float32)
-    def pallas_bwd(i, pb):
+    def pallas_bwd(i, pb2):
         grads = kernels._rasterize_bwd_impl(
-            pb + 1e-9 * i, binning.starts, ct0, hp, wp, tile_h, tile_w)
+            pb2 + 1e-9 * i, binning.starts, offs, ct0, nblk, hp, wp,
+            tile_h, tile_w)
         return grads[::17, 0, :].sum()
-    timed_slope("pallas bwd kernel alone", pallas_bwd, big_args=(pair_blocks,))
+    timed_slope("pallas bwd kernel alone (compacted)", pallas_bwd,
+                big_args=(pair_blocks2,))
 
     # --- full render fwd
     def full_fwd(i):

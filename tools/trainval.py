@@ -118,6 +118,13 @@ def main():
                 ),
             ),
         )
+    if args.max_epoch is not None:
+        # keep the cosine schedule length in sync with the actual run length
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, max_epoch=args.max_epoch)
+        )
     max_epoch = args.max_epoch or cfg.optim.max_epoch
     os.makedirs(args.output_dir, exist_ok=True)
     logger = get_logger(os.path.join(args.output_dir, "train.log") if jax.process_index() == 0 else None)
@@ -150,7 +157,9 @@ def main():
             order = rng.permutation(args.synthetic_pairs)
             for i in range(args.synthetic_pairs // batch_size):
                 seeds = pool[order[i * batch_size : (i + 1) * batch_size]]
-                yield [random_pair(cfg, int(s)) for s in seeds]
+                # yield seeds: build_batch replays the deterministic pair
+                # (and its pyramid) from the on-disk batch cache
+                yield [int(s) for s in seeds]
 
         steps_per_epoch = args.synthetic_pairs // batch_size
     else:
@@ -217,8 +226,54 @@ def main():
     writer = ScalarWriter(os.path.join(args.output_dir, "events"))
     key = jax.random.PRNGKey(cfg.seed + 1)
 
+    # ---- per-seed batch cache (synthetic path) ----
+    # The synthetic pool is fixed and random_pair(cfg, seed) is
+    # deterministic, so the on-device pyramid build (~3.5 s/pair — 13 grid
+    # radius searches) produces the identical PairBatch every epoch. Build
+    # each scene once, persist to disk, and replay from the prefetch thread
+    # (host IO only — keeps the chip free for the train step).
+    batch_treedef = jax.tree_util.tree_structure(example)
+    cache_tag = "-".join(
+        map(str, tuple(cfg.capacity.levels) + tuple(cfg.capacity.neighbor_limits))
+    ) + f"-{cfg.train.point_limit}"
+    cache_dir = os.path.join(args.output_dir, "batch_cache", cache_tag)
+
+    def cached_pair_batch(seed):
+        path = os.path.join(cache_dir, f"{seed}.npz")
+        if os.path.exists(path):
+            try:
+                with np.load(path) as f:
+                    leaves = [f[f"arr_{i}"] for i in range(len(f.files))]
+                leaves = [
+                    a.astype(np.int32) if a.dtype == np.int16 else a
+                    for a in leaves
+                ]
+                return jax.tree_util.tree_unflatten(batch_treedef, leaves)
+            except Exception as e:  # corrupt/partial write: rebuild
+                logger.info(f"batch cache read failed ({path}): {e}")
+        pb = make_pair_batch(cfg, *random_pair(cfg, int(seed)))
+        leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(pb)]
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}.npz"
+        np.savez(
+            tmp,
+            *[
+                a.astype(np.int16)
+                if a.dtype == np.int32 and a.size and 0 <= a.min() and a.max() <= 32767
+                else a
+                for a in leaves
+            ],
+        )
+        os.replace(tmp, path)
+        return pb
+
     def build_batch(raw_pairs):
-        batches = [make_pair_batch(cfg, *p) for p in raw_pairs]
+        batches = [
+            cached_pair_batch(p)
+            if isinstance(p, (int, np.integer))
+            else make_pair_batch(cfg, *p)
+            for p in raw_pairs
+        ]
         batch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
         return shard_batch_pytree(batch, mesh)
 
@@ -286,8 +341,7 @@ def main():
                 val_board.update_from_dict({k: float(v) for k, v in vm.items()})
         else:
             for i in range(min(args.val_pairs, 16)):
-                rp, rf, sp, sf, m = random_pair(cfg, 10_000_000 + i)
-                vb = make_pair_batch(cfg, rp, rf, sp, sf, m)
+                vb = cached_pair_batch(10_000_000 + i)
                 _, vm = eval_step(state.params, vb, jax.random.PRNGKey(i))
                 val_board.update_from_dict({k: float(v) for k, v in vm.items()})
         logger.info(f"epoch {epoch} val: {format_metrics(val_board.summary())}")
