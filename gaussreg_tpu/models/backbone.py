@@ -56,7 +56,10 @@ class KPConvFPN(nn.Module):
         # the point gather + influence chain (~60% of a KPConv forward,
         # tools/profile_backbone.py) is stage-level common subexpression.
         if self.shared_geometry:
-            kp0 = jnp.asarray(generate_kernel_points(k))
+            from gaussreg_tpu.models.kpconv import generate_kernel_points_lloyd
+
+            gen = generate_kernel_points_lloyd if k > 30 else generate_kernel_points
+            kp0 = jnp.asarray(gen(k))
             geo_n = [
                 kpconv_geometry(
                     pts[l], pts[l], nbr[l], kp0 * (r * 2**l), s * 2**l

@@ -54,6 +54,33 @@ def generate_kernel_points(num_points: int = 15, seed: int = 42) -> np.ndarray:
     return pts.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def generate_kernel_points_lloyd(
+    num_points: int, seed: int = 42, num_samples: int = 20000, iters: int = 60
+) -> np.ndarray:
+    """Spherical-Lloyd kernel dispositions: centroidal Voronoi tessellation
+    of the unit ball (k-means on uniform ball samples), first point fixed at
+    the center. The reference switches to this construction for kernels with
+    more than 30 points (kernel_points.py:62-245, load_kernels :397-408);
+    `generate_kernel_points` (repulsion) covers the 15-point kernels the
+    GaussReg experiment uses."""
+    rng = np.random.default_rng(seed)
+    samples = rng.normal(size=(num_samples, 3))
+    samples /= np.linalg.norm(samples, axis=1, keepdims=True)
+    samples *= rng.uniform(size=(num_samples, 1)) ** (1.0 / 3.0)
+    centers = samples[rng.choice(num_samples, num_points, replace=False)].copy()
+    centers[0] = 0.0
+    for _ in range(iters):
+        d2 = ((samples[:, None, :] - centers[None]) ** 2).sum(-1)
+        assign = np.argmin(d2, axis=1)
+        for j in range(1, num_points):
+            sel = samples[assign == j]
+            if sel.shape[0]:
+                centers[j] = sel.mean(0)
+        centers[0] = 0.0
+    return centers.astype(np.float32)
+
+
 def batched_gather(values: jnp.ndarray, indices: jnp.ndarray, fill=0.0):
     """Gather (B, N, C) at (B, M, K) with sentinel index == N -> fill.
 
@@ -124,9 +151,12 @@ class KPConv(nn.Module):
         # registers `kernel_points` as a buffer with a random rotation
         # applied at instantiation (reference kernel_points.py:428-453) —
         # can be imported bit-exactly (engine/torch_import.py)
+        # repulsion dispositions for small kernels, spherical Lloyd above 30
+        # points (reference load_kernels switch, kernel_points.py:396-397)
+        gen = generate_kernel_points_lloyd if k > 30 else generate_kernel_points
         kp = self.param(
             "kernel_points",
-            lambda _key: jnp.asarray(generate_kernel_points(k) * self.radius),
+            lambda _key: jnp.asarray(gen(k) * self.radius),
         )
         kp = jax.lax.stop_gradient(kp)  # (K, 3)
         weights = self.param(

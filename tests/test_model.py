@@ -214,3 +214,23 @@ def test_shared_geometry_matches_per_layer():
         )(params, batch)
         outs.append(np.asarray(out["ref_feats_c"]))
     np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
+
+
+def test_kernel_point_generators_spread():
+    """Both dispositions: center point at origin, rest inside the unit ball,
+    well separated (reference kernel_points.py repulsion / spherical_Lloyd)."""
+    from gaussreg_tpu.models.kpconv import (
+        generate_kernel_points,
+        generate_kernel_points_lloyd,
+    )
+
+    for pts in (generate_kernel_points(15), generate_kernel_points_lloyd(45)):
+        assert np.allclose(pts[0], 0.0)
+        r = np.linalg.norm(pts, axis=1)
+        assert r.max() <= 1.0 + 1e-5
+        d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        # no two kernel points collapse; spacing is a healthy fraction of
+        # the mean nearest-neighbor distance
+        nn = d.min(axis=1)
+        assert nn.min() > 0.3 * nn.mean()
