@@ -166,6 +166,39 @@ def pad_cloud(points, features, capacity: int):
     return p, f, m
 
 
+def augment_pair_pose(pb: PairBatch, rng) -> PairBatch:
+    """Host-side rigid pose augmentation of a built PairBatch: independent
+    rigid motions (Rr, tr), (Rs, ts) applied to the ref/src clouds at every
+    pyramid level. Rigid maps preserve all pairwise distances, so the
+    neighbor / subsampling / upsampling index lists stay exactly valid —
+    pose diversity is free on top of a cached pyramid. The GT similarity
+    becomes Tr @ gt @ Ts^-1 (ref' = Tr ref, src' = Ts src).
+
+    The reference draws fresh augmentation per epoch (dataset.py:170-212);
+    this provides the epoch-level pose freshness for batch-cached training
+    (tools/trainval.py) without re-paying the pyramid build."""
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+
+    tr = np.eye(4, dtype=np.float32)
+    ts = np.eye(4, dtype=np.float32)
+    tr[:3, :3] = Rotation.random(random_state=rng).as_matrix()
+    ts[:3, :3] = Rotation.random(random_state=rng).as_matrix()
+    tr[:3, 3] = rng.normal(scale=0.5, size=3)
+    ts[:3, 3] = rng.normal(scale=0.5, size=3)
+    both = np.stack([tr, ts])  # (2, 4, 4) per-cloud motions
+    rot = both[:, :3, :3]
+    off = both[:, None, :3, 3]
+    pts = tuple(
+        (np.einsum("bnc,bdc->bnd", np.asarray(p, np.float32), rot) + off).astype(
+            np.float32
+        )
+        for p in pb.pyramid.points
+    )
+    gt = (tr @ np.asarray(pb.transform) @ np.linalg.inv(ts)).astype(np.float32)
+    return pb._replace(pyramid=pb.pyramid._replace(points=pts), transform=gt)
+
+
 def make_pair_batch(
     cfg: Config,
     ref_points,

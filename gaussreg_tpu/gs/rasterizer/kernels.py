@@ -139,8 +139,11 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int, nblk: int)
     npix = tile_h * tile_w
     cap = nblk * chunk_n
 
-    def kernel(starts_ref, pair_ref, out_ref, kend_ref, chunk, sem, rgb_acc, t_row):
-        # rgb_acc rows: 0..3 = r, g, b, depth accumulators; row 4 = final T
+    def kernel(starts_ref, pair_ref, out_ref, chunk, sem, rgb_acc, t_row):
+        # rgb_acc rows: 0..3 = r, g, b, depth accumulators; row 4 = final T.
+        # out row 5 broadcasts the tile's saturation chunk count (kend) —
+        # TPU lowering rejects a separate (1, 1)-blocked int output, so it
+        # rides the image tile as a float row and is sliced off outside.
         t = pl.program_id(0)
         c0, c1, start_blk, num_chunks = _segment(starts_ref, t, chunk_n, cap)
 
@@ -204,10 +207,10 @@ def _forward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int, nblk: int)
             get_dma(jax.lax.rem(k_end, 2), k_end).wait()
 
         rgb_acc[4:5] = t_row[...]
-        out_ref[0] = rgb_acc[...]
+        out_ref[0, 0:5] = rgb_acc[...]
         # chunks composited before saturation: the backward re-walks exactly
         # these (module docstring, SATURATION COMPACTION)
-        kend_ref[0, 0] = k_end
+        out_ref[0, 5:6] = jnp.full((1, npix), k_end, jnp.float32)
 
     return kernel
 
@@ -374,10 +377,7 @@ def _rasterize_fwd_impl(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec((1, 5, npix), lambda t, starts: (t, 0, 0)),
-            pl.BlockSpec((1, 1), lambda t, starts: (t, 0)),
-        ],
+        out_specs=pl.BlockSpec((1, 6, npix), lambda t, starts: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, NCHAN, chunk_n), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -385,16 +385,14 @@ def _rasterize_fwd_impl(
             pltpu.VMEM((1, npix), jnp.float32),
         ],
     )
-    out, kend = pl.pallas_call(
+    out = pl.pallas_call(
         _forward_kernel(ntx, tile_h, tile_w, chunk_n, nblk),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 5, npix), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1), jnp.int32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 6, npix), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(starts, pair_blocks)
-    return _tiles_to_image(out, nty, ntx, tile_h, tile_w, 5), kend[:, 0]
+    kend = out[:, 5, 0].astype(jnp.int32)
+    return _tiles_to_image(out[:, :5], nty, ntx, tile_h, tile_w, 5), kend
 
 
 @functools.partial(

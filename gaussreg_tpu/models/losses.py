@@ -74,7 +74,11 @@ def coarse_matching_loss(cfg: Config, output: Dict) -> jnp.ndarray:
     overlaps = output["gt_node_overlaps"]  # (Mr, Ms) with invalid pairs 0
     valid = output["ref_node_masks"][:, None] & output["src_node_masks"][None, :]
 
-    feat_dists = jnp.sqrt(pairwise_sq_dist(ref_feats, src_feats, normalized=True))
+    # eps floor: sqrt'(0) = inf, and identical feature rows would NaN the
+    # gradient even where the (stop-gradient) circle-loss weights are zero
+    feat_dists = jnp.sqrt(
+        jnp.maximum(pairwise_sq_dist(ref_feats, src_feats, normalized=True), 1e-12)
+    )
     pos_masks = (overlaps > cfg.coarse_loss.positive_overlap) & valid
     neg_masks = (overlaps == 0.0) & valid
     pos_scales = jnp.sqrt(jnp.where(pos_masks, overlaps, 0.0))

@@ -110,11 +110,14 @@ class GaussRegModel(nn.Module):
         )
         ref_feats_c = ref_feats_c[0]
         src_feats_c = src_feats_c[0]
-        ref_feats_c_norm = ref_feats_c / jnp.maximum(
-            jnp.linalg.norm(ref_feats_c, axis=-1, keepdims=True), 1e-12
+        # rsqrt(sum^2 + eps), NOT x / max(norm, eps): linalg.norm's VJP is
+        # x/||x|| = NaN at exactly-zero rows (masked nodes stay identically
+        # zero through the transformer), and 0 * NaN poisons the whole grad
+        ref_feats_c_norm = ref_feats_c * jax.lax.rsqrt(
+            jnp.sum(ref_feats_c**2, axis=-1, keepdims=True) + 1e-12
         )
-        src_feats_c_norm = src_feats_c / jnp.maximum(
-            jnp.linalg.norm(src_feats_c, axis=-1, keepdims=True), 1e-12
+        src_feats_c_norm = src_feats_c * jax.lax.rsqrt(
+            jnp.sum(src_feats_c**2, axis=-1, keepdims=True) + 1e-12
         )
         out["ref_feats_c"] = ref_feats_c_norm
         out["src_feats_c"] = src_feats_c_norm

@@ -29,7 +29,16 @@ def sinusoidal_embedding(indices: jnp.ndarray, d_model: int) -> jnp.ndarray:
 
 class AttentionOutput(nn.Module):
     """d -> 2d -> d feed-forward + residual LayerNorm
-    (reference output_layer.py:6-21)."""
+    (reference output_layer.py:6-21).
+
+    The squeeze projection is ZERO-initialized: each residual branch starts
+    as a no-op so the post-LN stack is variance-preserving at init. With the
+    default init the attention mean-mixing shrinks token variance ~2x per
+    block; after 6 blocks the coarse features collapse to a single vector
+    and the circle loss sits at a zero-gradient saddle forever (measured:
+    token-std 0.81 -> 0.08 through the stack, then d(feat)=const to 7
+    decimals under Adam). Init-only change — imported reference weights
+    overwrite it (engine/torch_import.py)."""
 
     d_model: int
 
@@ -37,7 +46,7 @@ class AttentionOutput(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.d_model * 2)(x)
         h = nn.relu(h)
-        h = nn.Dense(self.d_model)(h)
+        h = nn.Dense(self.d_model, kernel_init=nn.initializers.zeros)(h)
         return nn.LayerNorm()(x + h)
 
 
@@ -121,7 +130,8 @@ class TransformerLayer(nn.Module):
         h = MultiHeadAttention(self.d_model, self.num_heads)(
             x, memory, memory, key_valid
         )
-        h = nn.Dense(self.d_model)(h)
+        # zero-init: residual branch starts as a no-op (see AttentionOutput)
+        h = nn.Dense(self.d_model, kernel_init=nn.initializers.zeros)(h)
         x = nn.LayerNorm()(x + h)
         return AttentionOutput(self.d_model)(x)
 
@@ -137,7 +147,8 @@ class RPETransformerLayer(nn.Module):
         h = RPEMultiHeadAttention(self.d_model, self.num_heads)(
             x, memory, memory, embed_qk, key_valid
         )
-        h = nn.Dense(self.d_model)(h)
+        # zero-init: residual branch starts as a no-op (see AttentionOutput)
+        h = nn.Dense(self.d_model, kernel_init=nn.initializers.zeros)(h)
         x = nn.LayerNorm()(x + h)
         return AttentionOutput(self.d_model)(x)
 

@@ -180,3 +180,43 @@ def test_gradient_accumulation_multisteps(setup):
     state, _ = step(state, batch, keys)
     p2 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
     assert any(not np.array_equal(a, b) for a, b in zip(p1, p2))
+
+
+def test_augment_pair_pose_preserves_pyramid_validity():
+    import jax.numpy as jnp
+    """Rigid pose augmentation keeps every neighbor-list distance identical
+    and composes the GT so src' still maps onto ref'."""
+    import numpy as np
+    from gaussreg_tpu.config import make_tiny_cfg
+    from gaussreg_tpu.data.pipeline import augment_pair_pose, make_pair_batch
+    from gaussreg_tpu.data.synthetic import random_pair
+    from gaussreg_tpu.ops.transforms import apply_transform
+
+    cfg = make_tiny_cfg()
+    pb = make_pair_batch(cfg, *random_pair(cfg, 11, num_points=600))
+    pb = jax.tree_util.tree_map(np.asarray, pb)
+    aug = augment_pair_pose(pb, np.random.default_rng(3))
+
+    # neighbor distances at level 0 are unchanged (rigid invariance)
+    for b in range(2):
+        p0, p0a = pb.pyramid.points[0][b], aug.pyramid.points[0][b]
+        idx = pb.pyramid.neighbors[0][b]
+        m = (idx != p0.shape[0]) & pb.pyramid.masks[0][b][:, None]
+        cl = np.minimum(idx, p0.shape[0] - 1)
+        d_old = np.linalg.norm(p0[cl] - p0[:, None], axis=-1)
+        d_new = np.linalg.norm(p0a[cl] - p0a[:, None], axis=-1)
+        assert np.abs((d_old - d_new)[m]).max() < 1e-4
+
+    # the composed GT maps augmented src onto augmented ref: check on the
+    # overlap region via nearest-neighbor distance percentiles
+    sm = aug.pyramid.masks[0][1]
+    src_w = np.asarray(
+        apply_transform(jnp.asarray(aug.pyramid.points[0][1]), jnp.asarray(aug.transform))
+    )
+    ref = aug.pyramid.points[0][0][aug.pyramid.masks[0][0]]
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(ref).query(src_w[sm])
+    # at >= 65% pair overlap, well over half the src points have a true
+    # counterpart; the GT must place them on it
+    assert np.quantile(d, 0.4) < 0.05

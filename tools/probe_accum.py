@@ -11,7 +11,7 @@ gaussians (the rasterizer backward's final hop):
 
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import numpy as np
 import jax

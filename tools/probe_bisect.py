@@ -7,7 +7,7 @@ of the real computation so the per-stage delta attributes the time.
 
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -7,7 +7,7 @@ pair positions) can cut the rasterizer's gradient-accumulation gather.
 
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import numpy as np
 import jax.numpy as jnp

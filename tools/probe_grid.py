@@ -7,7 +7,7 @@ measured 5.4 s for the full pyramid — ~25x worse than predicted)."""
 
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import numpy as np
 import jax

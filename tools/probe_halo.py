@@ -5,7 +5,7 @@ scenes). Decides the static halo for the banded KPConv window."""
 
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import numpy as np
 from scipy.spatial import cKDTree

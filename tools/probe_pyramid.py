@@ -4,7 +4,7 @@ and 40 ms (neighbor gather) actually go, and what beats them?"""
 
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -6,7 +6,7 @@ only ~5 ms, yet the full pyramid costs ~1.3 s — find the gap)."""
 import sys
 import functools
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -4,7 +4,7 @@ full forward, on TPU. Honest: slope method, all outputs consumed."""
 
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import numpy as np
 import jax

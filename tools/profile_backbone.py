@@ -10,7 +10,7 @@ full backbone forward / forward+backward.
 import sys
 import functools
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -9,9 +9,12 @@ scalar, and reports the slope between two rep counts — per-rep time with
 RTT/launch overhead cancelled.
 """
 
+import os
 import sys
 import time
 import functools
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGE_FILTER = sys.argv[1:]  # substrings; empty = run all
 

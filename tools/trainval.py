@@ -64,7 +64,7 @@ def main():
         jax.distributed.initialize()
 
     from gaussreg_tpu.config import make_cfg
-    from gaussreg_tpu.data.pipeline import make_pair_batch
+    from gaussreg_tpu.data.pipeline import augment_pair_pose, make_pair_batch
     from gaussreg_tpu.data.synthetic import random_pair
     from gaussreg_tpu.engine.checkpoint import (
         load_checkpoint,
@@ -267,9 +267,16 @@ def main():
         os.replace(tmp, path)
         return pb
 
+    aug_rng = np.random.default_rng(cfg.seed + 17)
+
     def build_batch(raw_pairs):
+        # fresh per-epoch rigid pose augmentation of cached pairs: rigid
+        # maps preserve all pyramid neighbor lists (data/pipeline.py:
+        # augment_pair_pose) — cached batches would otherwise repeat the
+        # same poses all run (the reference re-augments per epoch,
+        # dataset.py:170-212)
         batches = [
-            cached_pair_batch(p)
+            augment_pair_pose(cached_pair_batch(p), aug_rng)
             if isinstance(p, (int, np.integer))
             else make_pair_batch(cfg, *p)
             for p in raw_pairs
@@ -313,7 +320,9 @@ def main():
             timer.toc("prepare")
             timer.tic("process")
             state, metrics = train_step(state, batch, keys)
-            metrics = {k: float(v) for k, v in metrics.items()}
+            # ONE host round trip for all metrics: per-scalar float() costs
+            # ~23 ms RTT each through the tunnel (161 ms/step measured)
+            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
             timer.toc("process")
             board.update_from_dict(metrics)
             step_count += 1
