@@ -73,9 +73,22 @@ def bench_rasterizer():
     )
     use_pallas = jax.default_backend() == "tpu"
 
+    # two-pass backward sizing: a probe render reports the saturation-
+    # compacted block demand (RenderOutput.sat_blocks); the timed renders
+    # use a ~15%-padded static cap so the backward walks / scatters only
+    # the blocks that carry gradient (kernels.py SATURATION COMPACTION)
+    bwd_cap = None
+    if use_pallas:
+        probe = render(
+            means, scales, quats, opac, sh, cam, use_pallas=True,
+            max_tiles_per_gaussian=16,
+        )
+        bwd_cap = int(int(probe.sat_blocks) * 1.15) + 64
+
     def loss(m, s, q, o, c):
         out = render(
-            m, s, q, o, c, cam, use_pallas=use_pallas, max_tiles_per_gaussian=16
+            m, s, q, o, c, cam, use_pallas=use_pallas,
+            max_tiles_per_gaussian=16, bwd_capacity_blocks=bwd_cap,
         )
         return out.rgb.sum() + out.transmittance.sum()
 

@@ -23,11 +23,9 @@ Design:
   kernel row-masks foreign rows (alpha = 0 contributes nothing).
 - The backward pass runs over a SATURATION-COMPACTED block list (kernels.py):
   the forward kernel reports per-tile how many chunks it composited before
-  every pixel saturated, and only those blocks are re-walked. Binning
-  therefore exports `lin_sorted` — the sorted-order permutation of the
-  (g, slot) linear ids — from which the VJP builds the (G, mt) gradient
-  position table with one sort at backward time (forward-only renders never
-  pay for it).
+  every pixel saturated, and only those blocks are re-walked; gradient rows
+  scatter-add onto gaussians keyed by `sorted_gid`, so binning exports
+  nothing beyond the sorted pair list itself.
 """
 
 from __future__ import annotations
@@ -40,19 +38,14 @@ import jax.numpy as jnp
 
 
 class TileBinning(NamedTuple):
-    """Sorted pair list + the sorted-order (g, slot) permutation.
+    """Sorted (tile, depth)-ordered pair list.
 
     `sorted_gid[p]` is the gaussian id of the p-th pair in (tile, depth)
     order, `G` (sentinel) for invalid/padding slots. Tile t's pairs are
-    `sorted_gid[starts[t] : starts[t + 1]]`. `lin_sorted[p]` is the linear
-    (g * mt + slot) id of the p-th sorted pair over the FULL (G, mt) slot
-    grid (length g * mt even when the pair capacity truncates sorted_gid) —
-    the backward VJP sorts it against the compacted gradient positions to
-    build the per-gaussian accumulation table."""
+    `sorted_gid[starts[t] : starts[t + 1]]`."""
 
     sorted_gid: jnp.ndarray  # (cap,) int32
     starts: jnp.ndarray  # (num_tiles + 1,) int32 element offsets
-    lin_sorted: jnp.ndarray  # (G * mt,) int32 sorted (g, slot) linear ids
     tile_counts: jnp.ndarray  # (num_tiles,) int32
     num_pairs: jnp.ndarray  # () int32 — true pair count
     overflow: jnp.ndarray  # () int32 — pairs dropped by the per-gaussian cap
@@ -164,9 +157,8 @@ def bin_gaussians(
     gid_payload = jnp.where(
         valid, jnp.arange(g, dtype=jnp.int32)[:, None], g
     ).reshape(-1)
-    lin = jnp.arange(g * mt, dtype=jnp.int32)
 
-    key_s, gid_s, lin_s = jax.lax.sort((key, gid_payload, lin), num_keys=1)
+    key_s, gid_s = jax.lax.sort((key, gid_payload), num_keys=1)
 
     probes = (
         jnp.arange(num_tiles + 1, dtype=jnp.uint32) << jnp.uint32(depth_bits)
@@ -188,7 +180,6 @@ def bin_gaussians(
     return TileBinning(
         sorted_gid=sorted_gid,
         starts=starts,
-        lin_sorted=lin_s,
         tile_counts=tile_counts,
         num_pairs=num_pairs,
         overflow=overflow,

@@ -37,21 +37,24 @@ offs = cumsum(kend), and per-pair gradient blocks are written back to the
 same compacted range — private per tile BY CONSTRUCTION (boundary blocks
 shared by two tiles in the sorted layout are duplicated per tile), so the
 writes are atomics-free with zero slack. On saturated scenes this shrinks
-the gradient buffer far below the XLA row-gather cost knee (~13 MB VMEM
-staging; PERF.md), which is what the accumulation gather is bound by.
-Accumulation onto gaussians is one XLA row-gather through a (G, mt)
-position table built at backward time (one sort of binning's `lin_sorted`
-against the compacted positions; per-tile values are spread to the 1.6M
-sorted pair positions by scatter-delta + associative_scan segment
-broadcast — NOT by a per-pair table lookup, which costs ~10 ms at this
-size) plus a slot-axis sum; the chain from the quadratic coefficients back
-to means2d/conics/opacity is ordinary autodiff outside the kernel.
+the gradient row count far below the full pair capacity (measured 1949 of
+12500 blocks on the bench scene), which flips the optimal accumulation
+strategy: a direct SCATTER-ADD of the compacted rows keyed by gaussian id
+(gid = sorted_gid[original pair position], ~15 ns/row) beats the round-1
+position-table row-gather (whose row count is the full G*mt table and
+whose source-size cost is capacity-bound). Foreign rows in duplicated
+boundary blocks and dead rows are exact zeros from the kernel's rowmask,
+so they add harmlessly; rows past the compacted end scatter to the
+sentinel row. The chain from the quadratic coefficients back to
+means2d/conics/opacity is ordinary autodiff outside the kernel.
 
-`bwd_capacity_blocks` statically caps the compacted buffer. The default
-(num_blocks + num_tiles) can never overflow; callers that render saturated
-scenes repeatedly (fine registration, bench) should size it from the
-`sat_blocks` forward output — pairs beyond the cap lose their gradient and
-are counted there, never silently dropped.
+`bwd_capacity_blocks` statically caps the compacted buffer AND the
+scatter row count. The default (num_blocks + num_tiles) can never
+overflow; callers that render saturated scenes repeatedly (fine
+registration, bench) should size it from the `sat_blocks` forward output
+— tighter caps make the backward proportionally cheaper, and pairs beyond
+the cap lose their gradient and are counted there, never silently
+dropped.
 
 Pair channel layout (16 sublanes per block):
   0..5: quadratic coeffs [a0 + log(op), ax, ay, axx, axy, ayy]
@@ -442,24 +445,11 @@ def _rasterize_bwd_impl(
     return grads
 
 
-def _segment_broadcast(vals, starts, length):
-    """Spread per-tile values to per-sorted-position values: out[p] =
-    vals[t] for p in [starts[t], starts[t + 1]). Scatter the tile-to-tile
-    deltas at the segment starts and prefix-sum with associative_scan —
-    O(length) elementwise instead of a per-position table lookup (a
-    600-entry table gathered at 1.6M indices costs ~10 ms on TPU;
-    PERF.md)."""
-    deltas = vals - jnp.concatenate([jnp.zeros((1,), vals.dtype), vals[:-1]])
-    buf = jnp.zeros((length + 1,), vals.dtype).at[starts[:-1]].add(deltas)
-    return jax.lax.associative_scan(jnp.add, buf)[:length]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def rasterize_gaussians(
     gdata,
     sorted_gid,
     starts,
-    lin_sorted,
     height: int,
     width: int,
     tile_h: int = 16,
@@ -474,7 +464,6 @@ def rasterize_gaussians(
             layout); row G is the sentinel (a0 = -1e30).
         sorted_gid: (cap,) int32 pair ids in (tile, depth) order.
         starts: (num_tiles + 1,) int32 element offsets of tile segments.
-        lin_sorted: (G * mt,) int32 sorted (g, slot) linear ids (binning).
         bwd_capacity_blocks: static cap on the compacted backward buffers;
             None = num_blocks + num_tiles (never overflows). Size it from
             the sat_blocks output for saturated scenes.
@@ -495,7 +484,7 @@ def rasterize_gaussians(
 
 
 def _fwd(
-    gdata, sorted_gid, starts, lin_sorted, height, width, tile_h, tile_w,
+    gdata, sorted_gid, starts, height, width, tile_h, tile_w,
     bwd_capacity_blocks,
 ):
     pair_blocks = _build_pair_blocks(gdata, sorted_gid)
@@ -507,20 +496,20 @@ def _fwd(
     t = out[4]
     sat_blocks = jnp.sum(kend).astype(jnp.int32)
     return (rgb, depth, t, sat_blocks), (
-        pair_blocks, starts, lin_sorted, kend, gdata.shape[0],
-        sorted_gid.shape[0], rgb, depth, t,
+        pair_blocks, sorted_gid, starts, kend, gdata.shape[0], rgb, depth, t,
     )
 
 
 def _bwd(height, width, tile_h, tile_w, bwd_capacity_blocks, residuals, cts):
     (
-        pair_blocks, starts, lin_sorted, kend, g1, cap,
-        rgb_final, depth_final, t_final,
+        pair_blocks, sorted_gid, starts, kend, g1, rgb_final, depth_final,
+        t_final,
     ) = residuals
     d_rgb, d_depth, d_t = cts[0], cts[1], cts[2]  # cts[3] (sat_blocks): int
     num_tiles = starts.shape[0] - 1
     nblk = pair_blocks.shape[0]
     chunk_n = pair_blocks.shape[2]
+    cap = sorted_gid.shape[0]
     if bwd_capacity_blocks is None:
         bwd_capacity_blocks = nblk + num_tiles
     nblk2 = bwd_capacity_blocks
@@ -562,37 +551,30 @@ def _bwd(height, width, tile_h, tile_w, bwd_capacity_blocks, residuals, cts):
         tile_h, tile_w,
     )
 
-    # ---- (G, mt) position table into the compacted gradient layout ----
-    # per-tile end block (saturation- and capacity-clipped) and the
-    # original->compacted block shift, spread to sorted pair positions
-    kclip = offs[1:] - offs[:-1]  # (T,) kept chunks per tile
-    length = lin_sorted.shape[0]  # G * mt
-    end_blk_p = _segment_broadcast(start_blk + kclip, starts, length)
-    shift_p = _segment_broadcast(offs[:-1] - start_blk, starts, length)
-    p = jnp.arange(length, dtype=jnp.int32)
-    kept = (
-        (p // chunk_n < end_blk_p)
-        & (p < starts[num_tiles])  # real pairs only
-        & (p < cap)  # pair-capacity truncation
-    )
-    sent = nblk2 * chunk_n
-    priv2 = jnp.where(kept, p + shift_p * chunk_n, sent)
-    _, pos2 = jax.lax.sort((lin_sorted, priv2), num_keys=1)
+    # ---- scatter-add accumulation keyed by gaussian id (docstring) ----
+    # compacted row -> original pair position -> gid. Rows in blocks past
+    # the compacted end (offs[T]) were never written by the kernel
+    # (uninitialized memory): route them to the sentinel row. Foreign /
+    # dead rows inside written blocks are exact kernel zeros — harmless.
+    lane = jnp.arange(chunk_n, dtype=jnp.int32)
+    pos_orig = blk_src[:, None] * chunk_n + lane  # (nblk2, chunk)
     gnum = g1 - 1
-    pos2 = pos2.reshape(gnum, length // gnum)
-
-    # accumulate per-pair gradients onto gaussians: one row-gather through
-    # the position table + slot sum. Sentinel hits the appended zero row.
+    live = (
+        (jnp.arange(nblk2, dtype=jnp.int32) < offs[num_tiles])[:, None]
+        & (pos_orig < cap)
+    )
+    gid = jnp.where(live, sorted_gid[jnp.minimum(pos_orig, cap - 1)], gnum)
     grows = grads.transpose(0, 2, 1).reshape(-1, NCHAN)
-    grows = jnp.concatenate([grows, jnp.zeros((1, NCHAN), grows.dtype)])
-    picked = grows[pos2]  # (G, mt, NCHAN)
-    d_gdata = jnp.sum(picked, axis=1)  # (G, NCHAN)
-    d_gdata = jnp.pad(d_gdata, ((0, g1 - d_gdata.shape[0]), (0, 0)))
+    d_gdata = (
+        jnp.zeros((g1, NCHAN), grows.dtype).at[gid.reshape(-1)].add(grows)
+    )
+    # the sentinel row's cotangent is mathematically zero (alpha == 0 with
+    # zero derivative); it only absorbed dead-row scatters
+    d_gdata = d_gdata.at[gnum].set(0.0)
     return (
         d_gdata,
         np.zeros((cap,), dtype=jax.dtypes.float0),
         np.zeros(starts.shape, dtype=jax.dtypes.float0),
-        np.zeros(lin_sorted.shape, dtype=jax.dtypes.float0),
     )
 
 

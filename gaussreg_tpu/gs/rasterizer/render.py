@@ -146,7 +146,6 @@ def _bin_and_rasterize(
         gdata,
         binning.sorted_gid,
         binning.starts,
-        binning.lin_sorted,
         hp,
         wp,
         tile_h,

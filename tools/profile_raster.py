@@ -116,8 +116,7 @@ def main():
         b = bin_gaussians(proj.means2d + 1e-6 * i, proj.radii, proj.depths,
                           wp, hp, tile_w=tile_w, tile_h=tile_h,
                           max_tiles_per_gaussian=mt, chunk=kernels.CHUNK)
-        return (b.sorted_gid[::4096].sum() + b.starts[-1]
-                + b.lin_sorted[::997].sum()).astype(jnp.float32)
+        return (b.sorted_gid[::4096].sum() + b.starts[-1]).astype(jnp.float32)
     timed_slope("binning (sort-based, materialized)", bin_only)
 
     binning = jax.jit(functools.partial(
@@ -176,26 +175,22 @@ def main():
         nblk2, kernels.NCHAN, chunk_n)
     print(f"  sat_blocks={int(kend.sum())} of nblk={nblk}")
 
-    # --- stage: backward position-table build + accumulation gather
-    grows0 = jnp.zeros((nblk2 * chunk_n + 1, kernels.NCHAN), jnp.float32)
+    # --- stage: backward scatter-add accumulation (gid-keyed; kernels._bwd)
+    grows0 = jnp.zeros((nblk2, kernels.NCHAN, chunk_n), jnp.float32)
     cap_el = binning.sorted_gid.shape[0]
+    ntile_cnt = binning.starts.shape[0] - 1
     def accum_only(i, gr):
-        kclip = offs[1:] - offs[:-1]
-        length = binning.lin_sorted.shape[0]
-        end_blk_p = kernels._segment_broadcast(
-            start_blk + kclip, binning.starts, length)
-        shift_p = kernels._segment_broadcast(
-            offs[:-1] - start_blk, binning.starts, length)
-        p = jnp.arange(length, dtype=jnp.int32)
-        kept = ((p // chunk_n < end_blk_p)
-                & (p < binning.starts[-1]) & (p < cap_el))
-        priv2 = jnp.where(kept, p + shift_p * chunk_n + i % 2,
-                          nblk2 * chunk_n)
-        _, pos2 = jax.lax.sort((binning.lin_sorted, priv2), num_keys=1)
-        pos2 = pos2.reshape(n, length // n)
-        picked = gr[jnp.minimum(pos2, gr.shape[0] - 1)]
-        return picked.sum(axis=1)[:, 0].sum()
-    timed_slope("bwd table build + accum gather", accum_only, big_args=(grows0,))
+        lane = jnp.arange(chunk_n, dtype=jnp.int32)
+        pos_orig = blk_src[:, None] * chunk_n + lane
+        live = ((jnp.arange(nblk2, dtype=jnp.int32) < offs[ntile_cnt])[:, None]
+                & (pos_orig < cap_el))
+        gid = jnp.where(
+            live, binning.sorted_gid[jnp.minimum(pos_orig, cap_el - 1)], n)
+        grows = (gr + 1e-9 * i).transpose(0, 2, 1).reshape(-1, kernels.NCHAN)
+        d = jnp.zeros((n + 1, kernels.NCHAN), jnp.float32).at[
+            gid.reshape(-1)].add(grows)
+        return d[::7, 0].sum()
+    timed_slope("bwd gid scatter-add accumulation", accum_only, big_args=(grows0,))
 
     ct0 = jnp.ones((7, hp, wp), jnp.float32)
     def pallas_bwd(i, pb2):
