@@ -146,6 +146,23 @@ def fine_register(
         for cam in cameras
     ]
 
+    # size the backward's saturation-compacted buffers once from a probe
+    # render of the (coarsely aligned) source — ~100 optimization steps
+    # reuse the cap, so the backward only walks gradient-carrying blocks
+    # (kernels.py SATURATION COMPACTION; +25% slack for pose drift)
+    probe_src = transform_gaussians_device(src, init_transform)
+    bwd_cap = max(
+        int(
+            render(
+                probe_src.means, probe_src.scales, probe_src.quats,
+                probe_src.opacities, probe_src.sh_coeffs, cam,
+                valid=probe_src.valid, use_pallas=use_pallas,
+            ).sat_blocks
+        )
+        for cam in cameras
+    )
+    bwd_cap = int(bwd_cap * 1.25) + 64
+
     def photometric_loss(params):
         delta = _delta_transform(params)
         transform = delta @ init_transform
@@ -155,6 +172,7 @@ def fine_register(
             out = render(
                 moved.means, moved.scales, moved.quats, moved.opacities,
                 moved.sh_coeffs, cam, valid=moved.valid, use_pallas=use_pallas,
+                bwd_capacity_blocks=bwd_cap,
             )
             # L1 on color; transmittance term keeps coverage aligned
             loss = loss + jnp.mean(jnp.abs(out.rgb - target.rgb))

@@ -208,15 +208,22 @@ def main():
         return out.rgb.sum() + out.transmittance.sum()
     timed_slope("full render fwd", full_fwd)
 
-    # --- full render fwd+bwd (the bench)
+    # --- full render fwd+bwd (the bench): two-pass tight backward cap,
+    # exactly like bench.py
+    probe = render(means, scales, quats, opac, sh, cam, use_pallas=True,
+                   max_tiles_per_gaussian=mt)
+    bwd_cap = int(int(probe.sat_blocks) * 1.15) + 64
+    print(f"  bwd cap: {bwd_cap} blocks (sat {int(probe.sat_blocks)})")
+
     def full_bwd(i):
         def loss(m, s, q, o, c):
             out = render(m, s, q, o, c, cam, use_pallas=True,
-                         max_tiles_per_gaussian=mt)
+                         max_tiles_per_gaussian=mt,
+                         bwd_capacity_blocks=bwd_cap)
             return out.rgb.sum() + out.transmittance.sum()
         gr = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(perturb(i), scales, quats, opac, sh)
         return sum(jnp.sum(x) for x in gr)
-    timed_slope("FULL render fwd+bwd (bench)", full_bwd)
+    timed_slope("FULL render fwd+bwd (bench, tight cap)", full_bwd)
 
 
 if __name__ == "__main__":
