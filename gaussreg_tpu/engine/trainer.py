@@ -204,6 +204,7 @@ def make_eval_step(model: GaussRegModel, cfg: Config):
             batch,
             train=False,
             with_transform=True,
+            with_gt_overlaps=True,
             rngs={"ransac": key},
         )
         src_points = batch.pyramid.points[0][1]
@@ -212,6 +213,10 @@ def make_eval_step(model: GaussRegModel, cfg: Config):
             cfg, batch.transform, out["estimated_transform"], src_points, src_mask
         )
         metrics = dict(metrics)
+        # coarse-matching precision of the PROPOSED node correspondences
+        # (eval never sees GT targets) — localizes failures to features vs
+        # LGR/RANSAC (reference loss.py:102-120 evaluate_coarse)
+        metrics["PIR"] = _coarse_precision(cfg, out)
         # capacity overflow accounting (SURVEY.md §7.3): surface, don't hide
         metrics["vox_overflow"] = _voxel_overflow(cfg, batch).astype(jnp.float32)
         metrics["corr_overflow"] = jnp.maximum(

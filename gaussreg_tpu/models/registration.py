@@ -49,6 +49,7 @@ class GaussRegModel(nn.Module):
         batch: PairBatch,
         train: bool = False,
         with_transform: bool = True,
+        with_gt_overlaps: bool = False,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         pyr = batch.pyramid
@@ -124,8 +125,9 @@ class GaussRegModel(nn.Module):
         out["ref_node_masks"] = node_masks[0]
         out["src_node_masks"] = node_masks[1]
 
-        # 4. GT node overlaps (training; reference model.py:111-126)
-        if train:
+        # 4. GT node overlaps (training, or eval-time coarse-precision
+        # diagnostics; reference model.py:111-126)
+        if train or with_gt_overlaps:
             overlaps = node_overlap_matrix(
                 points_f[0],
                 points_f[1],

@@ -58,7 +58,8 @@ def main():
             est, metrics = eval_step(params, batch, jax.random.PRNGKey(seed % 997))
             metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
             print(
-                f"{name} seed={seed}: RRE={metrics['RRE']:.2f} "
+                f"{name} seed={seed}: PIR={metrics.get('PIR', float('nan')):.3f} "
+                f"RRE={metrics['RRE']:.2f} "
                 f"RSE={metrics['RSE']:.3f} RMSE={metrics['RMSE']:.3f} "
                 f"RR={metrics['RR']:.0f}",
                 flush=True,
