@@ -217,6 +217,17 @@ def make_eval_step(model: GaussRegModel, cfg: Config):
         # (eval never sees GT targets) — localizes failures to features vs
         # LGR/RANSAC (reference loss.py:102-120 evaluate_coarse)
         metrics["PIR"] = _coarse_precision(cfg, out)
+        # fine-matching inlier ratio of the extracted dense correspondences
+        # (reference loss.py:122-130 evaluate_fine)
+        from gaussreg_tpu.models.metrics import inlier_ratio
+
+        metrics["IR"] = inlier_ratio(
+            out["ref_corr_points"],
+            out["src_corr_points"],
+            out["corr_valid"],
+            batch.transform,
+            cfg.eval.acceptance_radius,
+        )
         # capacity overflow accounting (SURVEY.md §7.3): surface, don't hide
         metrics["vox_overflow"] = _voxel_overflow(cfg, batch).astype(jnp.float32)
         metrics["corr_overflow"] = jnp.maximum(
