@@ -189,19 +189,23 @@ def fine_register(
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
+    # the WHOLE optimization runs as one lax.scan on device: a Python step
+    # loop costs one host round-trip per step (~30 ms each through the
+    # remote-TPU tunnel, PERF.md) and holds `num_steps` device scalars alive
     @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(photometric_loss)(params)
-        updates, opt_state = tx.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    def run(params, opt_state):
+        def body(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(photometric_loss)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
 
-    losses = []
-    for _ in range(num_steps):
-        params, opt_state, loss = step(params, opt_state)
-        losses.append(loss)
+        (params, _), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=num_steps
+        )
+        return params, losses
 
+    params, losses = run(params, opt_state)
     transform = _delta_transform(params) @ init_transform
-    return FineRegistrationResult(
-        transform=transform, losses=jnp.stack(losses)
-    )
+    return FineRegistrationResult(transform=transform, losses=losses)

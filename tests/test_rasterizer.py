@@ -243,3 +243,43 @@ def test_bwd_capacity_tight_and_undersized():
         *args
     )[0]
     assert np.isfinite(np.asarray(g_small)).all()
+
+
+def test_sharded_render_uneven_height():
+    """render_sharded at a height NOT divisible by ndev*tile_h exercises the
+    _round_up + rgb[:height] crop path (render.py render_sharded) —
+    VERDICT r2 weak #8."""
+    from jax.sharding import Mesh
+    from gaussreg_tpu.gs.rasterizer.render import render_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    means, scales, quats, opac, sh = _scene(120, seed=11)
+    # 100 % (8 * 16) != 0 and 72 % 32 != 0: both axes pad then crop
+    cam = _camera(width=72, height=100)
+
+    out1 = render(means, scales, quats, opac, sh, cam, use_pallas=True)
+    out8 = render_sharded(means, scales, quats, opac, sh, cam, mesh)
+    assert out8.rgb.shape == (100, 72, 3)
+    np.testing.assert_allclose(
+        np.asarray(out8.rgb), np.asarray(out1.rgb), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out8.transmittance), np.asarray(out1.transmittance),
+        atol=5e-4,
+    )
+
+    # backward at uneven shapes stays correct too
+    def loss(render_fn, *args):
+        out = render_fn(*args)
+        return jnp.sum(out.rgb**2)
+
+    args = (means, scales, quats, opac, sh)
+    g1 = jax.grad(lambda *a: loss(lambda *b: render(*b, cam, use_pallas=True), *a))(*args)
+    g8 = jax.grad(lambda *a: loss(lambda *b: render_sharded(*b, cam, mesh), *a))(*args)
+    scale = np.abs(np.asarray(g1)).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(g8) / scale, np.asarray(g1) / scale, atol=2e-3
+    )

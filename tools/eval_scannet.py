@@ -34,6 +34,10 @@ def main():
     parser.add_argument("--fine_views", type=int, default=4)
     parser.add_argument("--max_fine_gaussians", type=int, default=200000)
     parser.add_argument("--limit_scenes", type=int, default=None)
+    parser.add_argument(
+        "--tiny", action="store_true",
+        help="tiny capacities (CPU integration tests of the pkl/npz path)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -59,9 +63,14 @@ def main():
         )
         from gaussreg_tpu.gs.ply import load_gaussians
 
-    cfg = make_cfg()
+    if args.tiny:
+        from gaussreg_tpu.config import make_tiny_cfg
+
+        cfg = make_tiny_cfg()
+    else:
+        cfg = make_cfg()
     model = create_model(cfg)
-    rp, rf, sp, sf, m = random_pair(cfg, 0, num_points=2000)
+    rp, rf, sp, sf, m = random_pair(cfg, 0, num_points=min(2000, cfg.capacity.levels[0]))
     example = make_pair_batch(cfg, rp, rf, sp, sf, m)
     init = jax.jit(
         lambda k, b: model.init(

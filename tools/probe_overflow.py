@@ -20,9 +20,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the axon sitecustomize pre-imports jax with JAX_PLATFORMS=axon baked into
+# the live config — a plain env default is NOT enough to stay off the chip
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
 
-import numpy as np
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
 
 
 def _recall(pts_q, msk_q, pts_s, msk_s, nbr, radius):

@@ -232,10 +232,12 @@ def main():
     # radius searches) produces the identical PairBatch every epoch. Build
     # each scene once, persist to disk, and replay from the prefetch thread
     # (host IO only — keeps the chip free for the train step).
+    from gaussreg_tpu.data.synthetic import DATA_VERSION
+
     batch_treedef = jax.tree_util.tree_structure(example)
     cache_tag = "-".join(
         map(str, tuple(cfg.capacity.levels) + tuple(cfg.capacity.neighbor_limits))
-    ) + f"-{cfg.train.point_limit}"
+    ) + f"-{cfg.train.point_limit}-v{DATA_VERSION}"
     cache_dir = os.path.join(args.output_dir, "batch_cache", cache_tag)
 
     def cached_pair_batch(seed):
