@@ -90,9 +90,13 @@ def build_pyramid(
 
     # all searches use the grid-run pruned path (ops/neighbors.py);
     # `search_overflow` counts candidate-run entries beyond the gathered
-    # aligned windows (no silent truncation, SURVEY §7.3); the default
-    # 2-row windows guarantee >= 129 candidates per z-run, past the
-    # measured p99 run length on cluttered synthetic scenes.
+    # aligned windows (no silent truncation, SURVEY §7.3). Level 0 uses
+    # 3-row windows (>= 257 candidates per z-run): dense reconstruction
+    # clutter can pack hundreds of points into one radius-sized cell
+    # column, and 2-row windows measured 0.979 recall on the worst
+    # training-pool scene (search_overflow 175k; tools/probe_overflow.py).
+    # Levels >= 1 are post-voxelization (at most a few points per cell)
+    # where 2 rows never truncate.
     neighbors = []
     subsampling = []
     upsampling = []
@@ -101,14 +105,16 @@ def build_pyramid(
     for lvl in range(num_stages):
         nbr, of = grid_radius_search(
             pts[lvl], pts[lvl], msks[lvl], msks[lvl], radius,
-            neighbor_limits[lvl],
+            neighbor_limits[lvl], window_rows=3 if lvl == 0 else 2,
         )
         neighbors.append(nbr)
         overflow += of
         if lvl < num_stages - 1:
+            # supports are level-lvl points: the dense-cell risk follows
+            # the SUPPORT set, so the level-0 subsampling search widens too
             sub, of = grid_radius_search(
                 pts[lvl + 1], pts[lvl], msks[lvl + 1], msks[lvl], radius,
-                neighbor_limits[lvl],
+                neighbor_limits[lvl], window_rows=3 if lvl == 0 else 2,
             )
             subsampling.append(sub)
             overflow += of

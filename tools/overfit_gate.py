@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--seed_base", type=int, default=0)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--dump_dir", default=None,
+        help="save final params (msgpack) + est/gt transforms (npz) here",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -67,12 +71,19 @@ def main():
     train_step = make_train_step(model, cfg, tx)
     eval_step = make_eval_step(model, cfg)
 
-    def evaluate(params, tag):
+    def evaluate(params, tag, dump=False):
         ms = []
         for i, vb in enumerate(batches):
             one = jax.tree_util.tree_map(lambda x: x[0], vb)
-            _, metrics = eval_step(params, one, jax.random.PRNGKey(100 + i))
+            est, metrics = eval_step(params, one, jax.random.PRNGKey(100 + i))
             ms.append({k: float(v) for k, v in metrics.items()})
+            if dump and args.dump_dir:
+                os.makedirs(args.dump_dir, exist_ok=True)
+                np.savez(
+                    os.path.join(args.dump_dir, f"transforms_{i}.npz"),
+                    est=np.asarray(est),
+                    gt=np.asarray(one.transform),
+                )
         agg = {k: float(np.mean([m[k] for m in ms])) for k in ms[0]}
         print(
             f"[{tag}] PIR {agg['PIR']:.3f} IR {agg['IR']:.3f} | "
@@ -100,7 +111,11 @@ def main():
         if step % args.eval_every == 0:
             evaluate(state.params, f"step {step}")
 
-    final = evaluate(state.params, "final")
+    final = evaluate(state.params, "final", dump=True)
+    if args.dump_dir:
+        from gaussreg_tpu.engine.checkpoint import save_checkpoint
+
+        save_checkpoint(args.dump_dir, "overfit", state.params)
     ok = final["RR"] == 1.0 and final["RRE"] < 5.0
     print(f"GATE {'PASS' if ok else 'FAIL'}: RR={final['RR']} RRE={final['RRE']:.2f}")
     return 0 if ok else 1
