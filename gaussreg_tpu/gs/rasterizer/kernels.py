@@ -470,17 +470,17 @@ def rasterize_gaussians(
 
     Returns:
         rgb (H, W, 3), depth (H, W), transmittance (H, W),
-        sat_blocks () int32 — total post-saturation-compaction block
-        demand of the backward (tune bwd_capacity_blocks to >= this).
+        kend (num_tiles,) int32 — per-tile chunks composited before
+        saturation. sum(kend) is the backward's post-compaction block
+        demand (tune bwd_capacity_blocks to >= it); combined with the
+        sorted pair depths it yields the per-tile saturation depth that
+        drives the next render's pair culling (render.py).
     """
     pair_blocks = _build_pair_blocks(gdata, sorted_gid)
     out, kend = _rasterize_fwd_impl(
         pair_blocks, starts, height, width, tile_h, tile_w
     )
-    return (
-        jnp.moveaxis(out[:3], 0, -1), out[3], out[4],
-        jnp.sum(kend).astype(jnp.int32),
-    )
+    return jnp.moveaxis(out[:3], 0, -1), out[3], out[4], kend
 
 
 def _fwd(
@@ -494,8 +494,7 @@ def _fwd(
     rgb = jnp.moveaxis(out[:3], 0, -1)
     depth = out[3]
     t = out[4]
-    sat_blocks = jnp.sum(kend).astype(jnp.int32)
-    return (rgb, depth, t, sat_blocks), (
+    return (rgb, depth, t, kend), (
         pair_blocks, sorted_gid, starts, kend, gdata.shape[0], rgb, depth, t,
     )
 
@@ -505,7 +504,7 @@ def _bwd(height, width, tile_h, tile_w, bwd_capacity_blocks, residuals, cts):
         pair_blocks, sorted_gid, starts, kend, g1, rgb_final, depth_final,
         t_final,
     ) = residuals
-    d_rgb, d_depth, d_t = cts[0], cts[1], cts[2]  # cts[3] (sat_blocks): int
+    d_rgb, d_depth, d_t = cts[0], cts[1], cts[2]  # cts[3] (kend): int
     num_tiles = starts.shape[0] - 1
     nblk = pair_blocks.shape[0]
     chunk_n = pair_blocks.shape[2]

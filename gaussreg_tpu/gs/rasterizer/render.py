@@ -30,6 +30,12 @@ class RenderOutput(NamedTuple):
     overflow_cap: jnp.ndarray  # () int32 pairs dropped by pair capacity
     sat_blocks: jnp.ndarray  # () int32 backward compacted-block demand
     # (kernels.py SATURATION COMPACTION; size bwd_capacity_blocks >= this)
+    sat_depth: jnp.ndarray  # (num_padded_tiles,) f32 per-tile saturation
+    # depth (+inf where the tile never saturated). Feed back into the next
+    # render of ~the same scene to cull pairs behind saturation (they
+    # contribute < T_EPS to pixels and zero gradient).
+    num_live: jnp.ndarray  # () int32 gaussians surviving the saturation
+    # cull (== valid count when no sat_depth was given); sizes live_cap
 
 
 def _round_up(x: int, m: int) -> int:
@@ -47,6 +53,8 @@ def _round_up(x: int, m: int) -> int:
         "use_pallas",
         "pair_capacity_blocks",
         "bwd_capacity_blocks",
+        "live_gaussian_cap",
+        "sat_margin",
     ),
 )
 def _render_impl(
@@ -57,6 +65,7 @@ def _render_impl(
     sh_coeffs,
     w2c,
     valid,
+    sat_depth,
     camera_static,
     tile_h,
     tile_w,
@@ -65,6 +74,8 @@ def _render_impl(
     use_pallas,
     pair_capacity_blocks,
     bwd_capacity_blocks,
+    live_gaussian_cap,
+    sat_margin,
 ):
     fx, fy, cx, cy, width, height = camera_static
     camera = Camera(w2c, fx, fy, cx, cy, width, height)
@@ -84,15 +95,25 @@ def _render_impl(
 
         rgb, depth, t = render_reference(proj, width, height)
         zero = jnp.zeros((), jnp.int32)
+        hp = _round_up(height, tile_h)
+        wp = _round_up(width, tile_w)
+        ntiles = (hp // tile_h) * (wp // tile_w)
         return RenderOutput(
-            rgb, depth, t, proj.radii, jnp.sum(proj.valid), zero, zero, zero
+            rgb, depth, t, proj.radii, jnp.sum(proj.valid), zero, zero, zero,
+            jnp.full((ntiles,), jnp.inf, jnp.float32),
+            jnp.sum(proj.valid).astype(jnp.int32),
         )
 
     hp = _round_up(height, tile_h)
     wp = _round_up(width, tile_w)
-    rgb, depth, t, num_pairs, overflow, overflow_cap, sat = _bin_and_rasterize(
+    (
+        rgb, depth, t, num_pairs, overflow, overflow_cap, sat,
+        sat_depth_out, num_live,
+    ) = _bin_and_rasterize(
         proj, hp, wp, tile_h, tile_w, max_tiles_per_gaussian,
         pair_capacity_blocks, bwd_capacity_blocks,
+        sat_depth=sat_depth, live_cap=live_gaussian_cap,
+        sat_margin=sat_margin,
     )
     return RenderOutput(
         rgb[:height, :width],
@@ -103,12 +124,15 @@ def _render_impl(
         overflow,
         overflow_cap,
         sat,
+        sat_depth_out,
+        num_live,
     )
 
 
 def _bin_and_rasterize(
     proj, hp, wp, tile_h, tile_w, max_tiles_per_gaussian,
-    pair_capacity_blocks, bwd_capacity_blocks=None,
+    pair_capacity_blocks, bwd_capacity_blocks=None, sat_depth=None,
+    live_cap=None, sat_margin=1.05,
 ):
     """Binning + Pallas tile compositing over an (hp, wp) image whose pixel
     frame matches proj.means2d (callers shard by shifting means2d)."""
@@ -128,6 +152,9 @@ def _bin_and_rasterize(
         pair_capacity_blocks=pair_capacity_blocks,
         extents=sg(proj.extents),
         minor=sg(proj.minor),
+        sat_depth=sat_depth,
+        live_cap=live_cap,
+        sat_margin=sat_margin,
     )
 
     coeffs = kernels.quadratic_coeffs(
@@ -142,7 +169,7 @@ def _bin_and_rasterize(
     sentinel = jnp.zeros((1, kernels.NCHAN), jnp.float32).at[0, 0].set(-1e30)
     gdata = jnp.concatenate([gdata, sentinel], axis=0)
 
-    rgb, depth, t, sat_blocks = kernels.rasterize_gaussians(
+    rgb, depth, t, kend = kernels.rasterize_gaussians(
         gdata,
         binning.sorted_gid,
         binning.starts,
@@ -152,9 +179,32 @@ def _bin_and_rasterize(
         tile_w,
         bwd_capacity_blocks,
     )
+
+    # per-tile saturation depth for the NEXT render of ~this scene: the
+    # depth of the last pair the forward composited when it early-exited
+    # (saturated), +inf when the tile consumed all its pairs. All ops here
+    # are (num_tiles,)-sized — negligible.
+    chunk_n = kernels.CHUNK
+    cap = binning.sorted_gid.shape[0]
+    c0 = jnp.minimum(binning.starts[:-1], cap)
+    c1 = jnp.minimum(binning.starts[1:], cap)
+    start_blk = c0 // chunk_n
+    nch = jnp.where(c1 > c0, (c1 - 1) // chunk_n - start_blk + 1, 0)
+    saturated = kend < nch
+    e_last = jnp.clip(
+        jnp.minimum((start_blk + kend) * chunk_n, c1) - 1, 0, cap - 1
+    )
+    gid_last = binning.sorted_gid[e_last]
+    depths_pad = jnp.concatenate(
+        [sg(proj.depths), jnp.full((1,), jnp.inf, jnp.float32)]
+    )
+    d_last = depths_pad[jnp.clip(gid_last, 0, g)]
+    sat_depth_out = jnp.where(saturated, d_last, jnp.inf)
+
     return (
         rgb, depth, t, binning.num_pairs, binning.overflow,
-        binning.overflow_cap, sat_blocks,
+        binning.overflow_cap + binning.live_overflow,
+        jnp.sum(kend).astype(jnp.int32), sat_depth_out, binning.num_live,
     )
 
 
@@ -173,6 +223,9 @@ def render(
     use_pallas: bool | None = None,
     pair_capacity_blocks: int | None = None,
     bwd_capacity_blocks: int | None = None,
+    sat_depth=None,
+    live_gaussian_cap: int | None = None,
+    sat_margin: float = 1.05,
 ) -> RenderOutput:
     """Differentiable render of a 3DGS model from `camera`.
 
@@ -188,6 +241,17 @@ def render(
             compacted buffers (kernels.py); None = never-overflow default.
             For repeated renders of saturated scenes, size it from
             RenderOutput.sat_blocks to shrink the gradient pipeline.
+        sat_depth: (num_padded_tiles,) per-tile saturation depths from a
+            previous RenderOutput of ~this scene (same camera intrinsics +
+            tile sizes). Gaussians behind every reachable tile's
+            saturation depth contribute < T_EPS and are culled before the
+            pair sort (binning.py).
+        live_gaussian_cap: static cap on post-cull gaussians; compacts the
+            live set so the pair sort shrinks from G*mt to cap*mt keys.
+            Size it from RenderOutput.num_live of a sat_depth probe.
+            Overage is counted in overflow_cap, never silently dropped.
+        sat_margin: multiplicative slack on sat_depth (tolerates small
+            scene/pose deltas between the probe and this render).
     """
     if valid is None:
         valid = jnp.ones(means3d.shape[0], bool)
@@ -209,6 +273,7 @@ def render(
         sh_coeffs,
         camera.w2c,
         valid,
+        sat_depth,
         camera_static,
         tile_h,
         tile_w,
@@ -217,6 +282,8 @@ def render(
         bool(use_pallas),
         pair_capacity_blocks,
         bwd_capacity_blocks,
+        live_gaussian_cap,
+        float(sat_margin),
     )
 
 
@@ -283,6 +350,7 @@ def render_sharded(
         proj = proj._replace(means2d=proj.means2d - shift)
         (
             rgb, depth, t, num_pairs, overflow, overflow_cap, sat_blocks,
+            sat_depth_loc, num_live,
         ) = _bin_and_rasterize(
             proj, local_h, wp, tile_h, tile_w, max_tiles_per_gaussian,
             pair_capacity_blocks,
@@ -291,7 +359,9 @@ def render_sharded(
             jnp.stack([num_pairs, overflow, overflow_cap, sat_blocks]),
             axis_name,
         )
-        return rgb, depth, t, proj.radii, scalars
+        # local tile grids stack to the global row-major grid (each slice
+        # owns local_h/tile_h consecutive tile rows)
+        return rgb, depth, t, proj.radii, scalars, sat_depth_loc, num_live
 
     body = jax.shard_map(
         slice_body,
@@ -299,10 +369,11 @@ def render_sharded(
         in_specs=(P(),) * 7,
         out_specs=(
             P(axis_name), P(axis_name), P(axis_name), P(), P(),
+            P(axis_name), P(),
         ),
         check_vma=False,
     )
-    rgb, depth, t, radii, scalars = body(
+    rgb, depth, t, radii, scalars, sat_depth_all, num_live = body(
         means3d, scales, quats, opacities, sh_coeffs, camera.w2c, valid
     )
     return RenderOutput(
@@ -314,4 +385,6 @@ def render_sharded(
         scalars[1],
         scalars[2],
         scalars[3],
+        sat_depth_all,
+        num_live,
     )

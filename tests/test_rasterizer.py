@@ -245,6 +245,79 @@ def test_bwd_capacity_tight_and_undersized():
     assert np.isfinite(np.asarray(g_small)).all()
 
 
+def test_saturation_culled_render_matches():
+    """Saturation-depth culling (sat_depth + live_gaussian_cap) reproduces
+    the unculled render: pairs behind every reachable tile's saturation
+    depth contribute < T_EPS to pixels and zero gradient, so dropping them
+    before the pair sort changes nothing but the cost (VERDICT r2 #4)."""
+    # saturation is detected at CHUNK (128-pair) granularity, so tiles must
+    # run several chunks deep for the early exit to fire: 4000 gaussians
+    # over a 128x64 image (16 tiles) ~ 8+ chunks per tile. Stretch the
+    # cloud along the view axis (z in [-1, 8], camera at z=-4) so a real
+    # population sits BEHIND the saturation boundary.
+    means, scales, quats, opac, sh = _scene(4000, seed=7)
+    rng = np.random.default_rng(7)
+    z = np.where(
+        rng.uniform(size=4000) < 0.75,
+        rng.uniform(-1.0, 0.5, size=4000),  # dense saturating front slab
+        rng.uniform(2.0, 8.0, size=4000),  # population behind saturation
+    )
+    means = means.at[:, 2].set(jnp.asarray(z, jnp.float32))
+    # push opacity up so tiles actually saturate
+    opac = jnp.minimum(opac * 4.0, 0.99)
+    cam = _camera(width=128, height=64)
+    args = (means, scales, quats, opac, sh)
+
+    probe = render(*args, cam, use_pallas=True)
+    assert int(probe.sat_blocks) > 0
+    assert np.isfinite(np.asarray(probe.sat_depth)).any(), "no tile saturated"
+    # probe 2: cull without compaction — sizes live_cap and pair capacity
+    p2 = render(*args, cam, use_pallas=True, sat_depth=probe.sat_depth)
+    n_valid = int(probe.num_live)
+    n_live = int(p2.num_live)
+    assert 0 < n_live < n_valid, "cull never fired; scene not saturating"
+    live_cap = n_live + 8
+    pair_cap = (int(p2.num_pairs) + 127) // 128 + 2
+
+    def run(**kw):
+        return render(*args, cam, use_pallas=True, **kw)
+
+    out = run(
+        sat_depth=probe.sat_depth, live_gaussian_cap=live_cap,
+        pair_capacity_blocks=pair_cap,
+    )
+    assert int(out.overflow_cap) == 0
+    assert int(out.num_pairs) < int(probe.num_pairs)
+    np.testing.assert_allclose(
+        np.asarray(out.rgb), np.asarray(probe.rgb), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.transmittance), np.asarray(probe.transmittance),
+        atol=2e-3,
+    )
+
+    # gradients survive culling: pairs behind saturation carried none
+    def loss(culled, *a):
+        kw = (
+            dict(
+                sat_depth=probe.sat_depth, live_gaussian_cap=live_cap,
+                pair_capacity_blocks=pair_cap,
+            )
+            if culled
+            else {}
+        )
+        o = render(*a, cam, use_pallas=True, **kw)
+        w = jnp.linspace(0.5, 1.5, o.rgb.size).reshape(o.rgb.shape)
+        return jnp.sum(o.rgb * w) + 0.3 * jnp.sum(o.transmittance)
+
+    g_full = jax.grad(lambda *a: loss(False, *a), argnums=(0, 3))(*args)
+    g_cull = jax.grad(lambda *a: loss(True, *a), argnums=(0, 3))(*args)
+    for name, a, b in zip(["means", "opac"], g_full, g_cull):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=3e-3, err_msg=name)
+
+
 def test_sharded_render_uneven_height():
     """render_sharded at a height NOT divisible by ndev*tile_h exercises the
     _round_up + rgb[:height] crop path (render.py render_sharded) —

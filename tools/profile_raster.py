@@ -225,6 +225,40 @@ def main():
         return sum(jnp.sum(x) for x in gr)
     timed_slope("FULL render fwd+bwd (bench, tight cap)", full_bwd)
 
+    # --- saturation-culled steady state (bench.py): probe sat_depth +
+    # live-gaussian compaction + tight pair capacity
+    p2 = render(means, scales, quats, opac, sh, cam, use_pallas=True,
+                max_tiles_per_gaussian=mt, sat_depth=probe.sat_depth)
+    live_cap = -(-int(int(p2.num_live) * 1.10) // 256) * 256
+    pair_cap = (int(int(p2.num_pairs) * 1.15) + 127) // 128 + 8
+    print(f"  cull: live {int(p2.num_live)}/{n} -> live_cap {live_cap}; "
+          f"pairs {int(p2.num_pairs)}/{int(binning.num_pairs)} "
+          f"-> pair_cap {pair_cap} blocks")
+
+    def culled_bin(i, sd):
+        b = bin_gaussians(proj.means2d + 1e-6 * i, proj.radii, proj.depths,
+                          wp, hp, tile_w=tile_w, tile_h=tile_h,
+                          max_tiles_per_gaussian=mt, chunk=kernels.CHUNK,
+                          extents=proj.extents, minor=proj.minor,
+                          sat_depth=sd, live_cap=live_cap,
+                          pair_capacity_blocks=pair_cap)
+        return (b.sorted_gid[::4096].sum() + b.starts[-1]).astype(jnp.float32)
+    timed_slope("binning CULLED (compacted sort)", culled_bin,
+                big_args=(probe.sat_depth,))
+
+    def full_bwd_culled(i, sd):
+        def loss(m, s, q, o, c):
+            out = render(m, s, q, o, c, cam, use_pallas=True,
+                         max_tiles_per_gaussian=mt,
+                         bwd_capacity_blocks=bwd_cap, sat_depth=sd,
+                         live_gaussian_cap=live_cap,
+                         pair_capacity_blocks=pair_cap)
+            return out.rgb.sum() + out.transmittance.sum()
+        gr = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(perturb(i), scales, quats, opac, sh)
+        return sum(jnp.sum(x) for x in gr)
+    timed_slope("FULL render fwd+bwd CULLED (bench v5)", full_bwd_culled,
+                big_args=(probe.sat_depth,))
+
 
 if __name__ == "__main__":
     main()

@@ -44,6 +44,14 @@ def main():
     parser.add_argument("--synthetic_pairs", type=int, default=256)
     parser.add_argument("--distributed", action="store_true", help="multi-host: call jax.distributed.initialize()")
     parser.add_argument(
+        "--coordinator", default=None,
+        help="host:port for jax.distributed when cluster auto-detection is "
+        "unavailable (pass with --num_processes/--process_id; the "
+        "2-process CPU smoke test drives this path)",
+    )
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument(
         "--tiny", action="store_true",
         help="tiny capacities — CPU smoke run of the full CLI path",
     )
@@ -61,7 +69,14 @@ def main():
     import jax
 
     if args.distributed:
-        jax.distributed.initialize()
+        if args.coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
 
     from gaussreg_tpu.config import make_cfg
     from gaussreg_tpu.data.pipeline import augment_pair_pose, make_pair_batch
