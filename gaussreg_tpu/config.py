@@ -55,6 +55,13 @@ class CapacityConfig:
     # in the train/eval boards surface any capacity breach on new data.
     levels: Tuple[int, ...] = (30720, 16384, 6400, 1792, 512)
     neighbor_limits: Tuple[int, ...] = (89, 30, 43, 49, 49)
+    # aligned 128-row candidate window for the two LEVEL-0 grid radius
+    # searches (ops/neighbors.py): covers z-runs up to (w-1)*128+1 entries.
+    # Sized from the measured run-length tail of the training pool's worst
+    # clutter scene (max run 441 < 513 = 5 rows; 3 rows measured 0.9807
+    # src/self recall there — tools/probe_overflow.py, PERF.md). Levels
+    # >= 1 are post-voxelization (<= a few points per cell) and keep 2.
+    window_rows0: int = 5
     # max dense correspondences kept in LGR verification set
     max_correspondences: int = 2048
     # max per-patch correspondences used for one local Procrustes hypothesis

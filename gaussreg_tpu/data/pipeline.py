@@ -44,7 +44,8 @@ class Pyramid(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("levels", "neighbor_limits", "num_stages")
+    jax.jit,
+    static_argnames=("levels", "neighbor_limits", "num_stages", "window_rows0"),
 )
 def build_pyramid(
     points: jnp.ndarray,
@@ -54,6 +55,7 @@ def build_pyramid(
     levels: Tuple[int, ...],
     neighbor_limits: Tuple[int, ...],
     num_stages: int = 5,
+    window_rows0: int = 5,
 ) -> Pyramid:
     """Build the pyramid for a batch of clouds (B, N0, 3).
 
@@ -91,12 +93,12 @@ def build_pyramid(
     # all searches use the grid-run pruned path (ops/neighbors.py);
     # `search_overflow` counts candidate-run entries beyond the gathered
     # aligned windows (no silent truncation, SURVEY §7.3). Level 0 uses
-    # 3-row windows (>= 257 candidates per z-run): dense reconstruction
-    # clutter can pack hundreds of points into one radius-sized cell
-    # column, and 2-row windows measured 0.979 recall on the worst
-    # training-pool scene (search_overflow 175k; tools/probe_overflow.py).
-    # Levels >= 1 are post-voxelization (at most a few points per cell)
-    # where 2 rows never truncate.
+    # `window_rows0`-row windows: dense reconstruction clutter packs
+    # hundreds of points into one radius-sized cell column (worst measured
+    # training-pool run: 441 entries; 3-row windows measured 0.9807
+    # src/self recall there — tools/probe_overflow.py, PERF.md). Levels
+    # >= 1 are post-voxelization (at most a few points per cell) where
+    # 2 rows never truncate.
     neighbors = []
     subsampling = []
     upsampling = []
@@ -105,7 +107,8 @@ def build_pyramid(
     for lvl in range(num_stages):
         nbr, of = grid_radius_search(
             pts[lvl], pts[lvl], msks[lvl], msks[lvl], radius,
-            neighbor_limits[lvl], window_rows=3 if lvl == 0 else 2,
+            neighbor_limits[lvl],
+            window_rows=window_rows0 if lvl == 0 else 2,
         )
         neighbors.append(nbr)
         overflow += of
@@ -114,7 +117,8 @@ def build_pyramid(
             # the SUPPORT set, so the level-0 subsampling search widens too
             sub, of = grid_radius_search(
                 pts[lvl + 1], pts[lvl], msks[lvl + 1], msks[lvl], radius,
-                neighbor_limits[lvl], window_rows=3 if lvl == 0 else 2,
+                neighbor_limits[lvl],
+                window_rows=window_rows0 if lvl == 0 else 2,
             )
             subsampling.append(sub)
             overflow += of
@@ -231,6 +235,7 @@ def make_pair_batch(
         cfg.capacity.levels,
         cfg.capacity.neighbor_limits,
         cfg.backbone.num_stages,
+        window_rows0=cfg.capacity.window_rows0,
     )
     # level-0 points were Morton-sorted inside build_pyramid: apply the same
     # permutation to the per-point features

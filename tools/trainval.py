@@ -252,7 +252,7 @@ def main():
     batch_treedef = jax.tree_util.tree_structure(example)
     cache_tag = "-".join(
         map(str, tuple(cfg.capacity.levels) + tuple(cfg.capacity.neighbor_limits))
-    ) + f"-{cfg.train.point_limit}-v{DATA_VERSION}"
+    ) + f"-{cfg.train.point_limit}-w{cfg.capacity.window_rows0}-v{DATA_VERSION}"
     cache_dir = os.path.join(args.output_dir, "batch_cache", cache_tag)
 
     def cached_pair_batch(seed):
