@@ -222,10 +222,21 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], flax_params: dict):
         converted += 1
     missing = sorted("/".join(p) for p in set(flat) - filled)
     unexpected += sorted(set(state_dict) - used_torch)
+    # reference checkpoints carry a random per-layer rotation of the kernel
+    # disposition (kernel_points.py:428-453), so the shared-geometry fast
+    # path (models/kpconv.py KPConv.__call__ geometry=) is numerically
+    # WRONG for them. Detect it here so callers can assert
+    # cfg.backbone.shared_kpconv_geometry == False before using the params.
+    kp = [v for p, v in flat.items() if p and p[-1] == "kernel_points"]
+    per_layer_geometry = bool(kp) and any(
+        not np.allclose(k, kp[0], atol=1e-6) for k in kp[1:]
+    )
     report = {
         "converted": converted,
         "missing": missing,
         "unexpected": unexpected,
+        # True -> build the model with shared_kpconv_geometry=False
+        "per_layer_kernel_geometry": per_layer_geometry,
     }
     return _unflatten(flat), report
 
@@ -238,6 +249,31 @@ def load_torch_snapshot(path: str, flax_params: dict):
     model_dict = state.get("model", state)
     model_dict = {k: v.numpy() for k, v in model_dict.items()}
     return convert_state_dict(model_dict, flax_params)
+
+
+def load_for_inference(path: str, cfg, model, params):
+    """Load a reference torch snapshot for our inference CLIs.
+
+    Reference checkpoints carry a random per-layer kernel rotation
+    (kernel_points.py:428-453): when detected, the model is rebuilt with
+    `shared_kpconv_geometry=False` so every KPConv evaluates its own
+    imported disposition (the shared fast path would be numerically wrong).
+    Returns (cfg, model, params, report).
+    """
+    import dataclasses
+
+    params, report = load_torch_snapshot(path, params)
+    if report["per_layer_kernel_geometry"] and cfg.backbone.shared_kpconv_geometry:
+        from gaussreg_tpu.models.registration import create_model
+
+        cfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(
+                cfg.backbone, shared_kpconv_geometry=False
+            ),
+        )
+        model = create_model(cfg)
+    return cfg, model, params, report
 
 
 def fake_reference_state_dict(seed: int = 0) -> Dict[str, np.ndarray]:

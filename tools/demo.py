@@ -22,6 +22,11 @@ def main():
     parser.add_argument("--ref", required=True, help="reference GS .ply")
     parser.add_argument("--src", required=True, help="source GS .ply")
     parser.add_argument("--weights", default=None, help="model checkpoint (.msgpack)")
+    parser.add_argument(
+        "--torch_snapshot", default=None,
+        help="reference .pth.tar checkpoint (released weights), converted "
+        "via engine/torch_import",
+    )
     parser.add_argument("--output_dir", default="demo_outputs")
     parser.add_argument("--point_limit", type=int, default=30000)
     parser.add_argument("--fine", action="store_true", help="render-and-compare refinement")
@@ -55,6 +60,16 @@ def main():
     params = init(jax.random.PRNGKey(0), example)
     if args.weights:
         params = load_checkpoint(args.weights, params)
+    if args.torch_snapshot:
+        from gaussreg_tpu.engine.torch_import import load_for_inference
+
+        cfg, model, params, report = load_for_inference(
+            args.torch_snapshot, cfg, model, params
+        )
+        print(
+            f"torch import: {report['converted']} tensors, "
+            f"per_layer_geometry={report['per_layer_kernel_geometry']}"
+        )
 
     result = register_gs_pair(
         args.ref,

@@ -23,6 +23,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--scannet_path", required=True)
     parser.add_argument("--weights", default=None)
+    parser.add_argument(
+        "--torch_snapshot", default=None,
+        help="reference .pth.tar checkpoint (released weights); converted "
+        "via engine/torch_import and evaluated with per-layer KPConv "
+        "geometry when the checkpoint requires it",
+    )
     parser.add_argument("--output_path", default="eval_outputs")
     parser.add_argument("--num_sample", type=int, default=30000)
     parser.add_argument(
@@ -81,6 +87,17 @@ def main():
     params = init(jax.random.PRNGKey(0), example)
     if args.weights:
         params = load_checkpoint(args.weights, params)
+    if args.torch_snapshot:
+        from gaussreg_tpu.engine.torch_import import load_for_inference
+
+        cfg, model, params, report = load_for_inference(
+            args.torch_snapshot, cfg, model, params
+        )
+        print(
+            f"torch import: {report['converted']} tensors, "
+            f"{len(report['missing'])} missing, "
+            f"per_layer_geometry={report['per_layer_kernel_geometry']}"
+        )
 
     scene_list = np.load(
         os.path.join(args.scannet_path, "test_transformations.npz"),
