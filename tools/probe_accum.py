@@ -102,6 +102,55 @@ def main():
     timed_slope("E segment_sum (sorted gid)", e_onehot,
                 big_args=(rows_cap_f32, gid_sorted))
 
+    # F: sort + cumsum-diff at the CULLED row count (~300k rows — the v5
+    # saturation-compacted backward): sort gids w/ row-index payload,
+    # gather rows into gid order, inclusive associative-scan cumsum, take
+    # per-segment last rows, adjacent-diff, one scatter of <= distinct-gid
+    # rows. Every stage is sort/gather/scan — no per-index scatter floor
+    # except the final small unique-index scatter.
+    rcap = 300_032
+    rows_small = rows_cap_f32[:rcap]
+    gid_small = sorted_gid_j[:rcap]
+    def f_sortscan(i, rows, gid):
+        gid = jnp.minimum(gid + (i % 2), G)
+        gs, order = jax.lax.sort(
+            (gid, jnp.arange(rcap, dtype=jnp.int32)), num_keys=1
+        )
+        rs = rows[order]  # (rcap, NCH) gather into gid order
+        cs = jax.lax.associative_scan(jnp.add, rs, axis=0)
+        # segment last rows: positions where the NEXT gid differs
+        nxt = jnp.concatenate([gs[1:], jnp.full((1,), -1, gs.dtype)])
+        is_last = gs != nxt
+        # per-position exclusive prefix: value at last pos minus value at
+        # previous segment's last pos
+        prev_last = jnp.concatenate(
+            [jnp.zeros((1, NCH), cs.dtype), jnp.where(is_last[:-1, None], cs[:-1], 0)]
+        )
+        # running max of previous-last via scan over masked rows is
+        # overkill: segment sums = cs[last] - cs[prev_last_pos]; compute by
+        # scatter of cs[last] keyed by gid then adjacent handling — here
+        # emulate with two scatters of ~distinct rows
+        out = jnp.zeros((G + 2, NCH), jnp.float32)
+        out = out.at[jnp.where(is_last, gs, G + 1)].set(cs, mode="drop")
+        shifted = jnp.zeros((G + 2, NCH), jnp.float32)
+        shifted = shifted.at[
+            jnp.where(is_last, jnp.minimum(gs + 1, G + 1), G + 1)
+        ].set(cs, mode="drop")
+        # out[g] - (cumsum at previous segment end) needs segment ORDER not
+        # gid adjacency; correct when every gid in [0, G] occurs (dense) —
+        # bench-probe approximation for timing purposes
+        seg = out[:G + 1] - shifted[:G + 1]
+        return seg[:, 0].sum()
+    timed_slope("F sort+scan+diff 300k rows (v5 culled)", f_sortscan,
+                big_args=(rows_small, gid_small))
+
+    def b3_scatter(i, rows, gid):
+        out = jnp.zeros((G + 1, NCH), jnp.float32)
+        out = out.at[jnp.minimum(gid + (i % 2), G)].add(rows)
+        return out[:, 0].sum()
+    timed_slope("B3 scatter-add 300k f32 rows (v5 culled baseline)",
+                b3_scatter, big_args=(rows_small, gid_small))
+
 
 if __name__ == "__main__":
     main()
