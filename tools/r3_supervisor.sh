@@ -74,6 +74,7 @@ while true; do
         timeout 10800 python tools/trainval.py --synthetic \
             --synthetic_pairs 256 --output_dir "$OUT/campaign" --resume \
             --log_steps 25 --val_pairs 16 --lr 5e-4 --scheduler cosine \
+            --max_epoch 24 \
             >> "$OUT/campaign.log" 2>&1
         rc=$?
         if [ "$rc" -eq 0 ]; then touch "$OUT/campaign.DONE"; say "campaign DONE"
