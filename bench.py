@@ -109,11 +109,13 @@ def bench_rasterizer():
         )
         return out.rgb.sum() + out.transmittance.sum()
 
-    def one(i, m, s, q, o, c):
-        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(m + 1e-6 * i, s, q, o, c)
+    def one(i, m, s, q, o, c, sd):
+        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            m + 1e-6 * i, s, q, o, c, sd
+        )
         return sum(jnp.sum(x) for x in g)
 
-    dt = _slope(one, (means, scales, quats, opac, sh), r_lo=2, r_hi=8)
+    dt = _slope(one, (means, scales, quats, opac, sh, sat_depth), r_lo=2, r_hi=8)
     return width * height / dt / 1e6
 
 
