@@ -132,32 +132,47 @@ def bin_gaussians(
     # gathers cost ~6 ns/element on this backend (PERF.md) — 1.6M of them
     # would eat the entire win. A gaussian is cullable iff its depth
     # exceeds the MAX saturation depth over its bbox tiles; that range-max
-    # comes from one gather into a 3-level pooled stack selected by bbox
-    # size (max-pooling only as wide as the bbox needs keeps the test
-    # exact for 1x1 and 2x2-tile bboxes — a globally dilated image would
-    # let one unsaturated tile shield its whole neighbourhood):
-    #   level 0 (bbox 1x1): the sat image itself, indexed at (y0, x0)
-    #   level 1 (<= 2x2):  max over [i..i+1, j..j+1], indexed at (y0, x0)
-    #   level 2 (<= 3x3):  3x3 'SAME' max, indexed at the bbox center
-    # Larger bboxes skip the cull (live).
+    # comes from one gather into a pooled stack selected by bbox size
+    # (max-pooling only as wide as the bbox needs keeps the test exact —
+    # a single globally dilated image would let one unsaturated tile
+    # shield its whole neighbourhood):
+    #   level 0 (bbox 1x1):  the sat image itself, indexed at (y0, x0)
+    #   level 1 (<= 2x2):    max over [i..i+1, j..j+1], indexed at (y0, x0)
+    #   level 2..5 (<= 3/5/7/9): odd 'SAME' max windows, indexed at the
+    #     bbox center (an odd window w centered at the bbox center covers
+    #     any bbox up to w wide). Covering big bboxes matters: ~1/3 of
+    #     the bench scene's gaussians span > 3x3 tiles, and exempting
+    #     them measured 67% live vs the exact test's 35% (PERF.md r3).
+    # Larger than 9x9: live.
     if sat_depth is not None:
         sat_img = sat_depth.reshape(nty, ntx) * jnp.float32(sat_margin)
-        lvl1 = jax.lax.reduce_window(
-            sat_img, -jnp.inf, jax.lax.max, (2, 2), (1, 1), ((0, 1), (0, 1))
-        )
-        lvl2 = jax.lax.reduce_window(
-            sat_img, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-        )
-        stack = jnp.concatenate(
-            [sat_img.reshape(-1), lvl1.reshape(-1), lvl2.reshape(-1)]
-        )
+        pools = [
+            sat_img,
+            jax.lax.reduce_window(
+                sat_img, -jnp.inf, jax.lax.max, (2, 2), (1, 1),
+                ((0, 1), (0, 1)),
+            ),
+        ]
+        for w in (3, 5, 7, 9):
+            pools.append(
+                jax.lax.reduce_window(
+                    sat_img, -jnp.inf, jax.lax.max, (w, w), (1, 1), "SAME"
+                )
+            )
+        stack = jnp.concatenate([p.reshape(-1) for p in pools])
         cxt = (x0 + x1) // 2
         cyt = (y0 + y1) // 2
         size = jnp.maximum(bw, bh)
-        lvl = jnp.clip(size - 1, 0, 2)
-        ix = jnp.where(lvl == 2, cyt * ntx + cxt, y0 * ntx + x0)
+        # size 1,2 -> level 0,1 (anchored); 3 -> 2; 4,5 -> 3; 6,7 -> 4;
+        # 8,9 -> 5 (window = next odd >= size)
+        lvl = jnp.where(
+            size <= 2,
+            jnp.maximum(size - 1, 0),
+            jnp.clip(2 + (size - 2) // 2, 2, 5),
+        )
+        ix = jnp.where(lvl >= 2, cyt * ntx + cxt, y0 * ntx + x0)
         look = stack[lvl * num_tiles + ix]
-        small = (bw <= 3) & (bh <= 3)
+        small = (bw <= 9) & (bh <= 9)
         live = alive & ((~small) | (depths <= look))
     else:
         live = alive
