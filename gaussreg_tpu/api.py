@@ -114,6 +114,12 @@ def register_gs_pair(
         "normalized_transform": est,
         "ransac_inliers": int(out["ransac_inliers"]),
         "num_correspondences": int(out["num_correspondences"]),
+        # original-frame extracted clouds (features = [opacity, R, G, B]) —
+        # what the reference demo writes back out (demo.py:162-180)
+        "ref_points": ref_points,
+        "ref_colors": ref_feats[:, 1:4],
+        "src_points": src_points,
+        "src_colors": src_feats[:, 1:4],
     }
 
     if fine:
@@ -138,3 +144,33 @@ def register_gs_pair(
         result["fine_losses"] = np.asarray(fine_out.losses)
 
     return result
+
+
+def write_demo_outputs(output_dir: str, result: Dict) -> List[str]:
+    """Write the reference demo's point-cloud artifacts (demo.py:171-180):
+    `point_cloud_src_org.ply` / `point_cloud_ref.ply` (original frames) and
+    `point_cloud_src.ply` (src mapped into ref's frame by the estimated
+    similarity), plus `estimated_transform.npz`."""
+    import os
+
+    from gaussreg_tpu.utils.pointcloud import apply_transform_np
+    from gaussreg_tpu.utils.visualization import write_point_cloud
+
+    os.makedirs(output_dir, exist_ok=True)
+    paths = []
+
+    def _write(name, points, colors):
+        p = os.path.join(output_dir, name)
+        write_point_cloud(p, np.asarray(points), np.asarray(colors))
+        paths.append(p)
+
+    _write("point_cloud_src_org.ply", result["src_points"], result["src_colors"])
+    _write("point_cloud_ref.ply", result["ref_points"], result["ref_colors"])
+    aligned = apply_transform_np(
+        np.asarray(result["src_points"]), np.asarray(result["transform"])
+    )
+    _write("point_cloud_src.ply", aligned, result["src_colors"])
+    npz = os.path.join(output_dir, "estimated_transform.npz")
+    np.savez(npz, estimated_transform=result["transform"])
+    paths.append(npz)
+    return paths

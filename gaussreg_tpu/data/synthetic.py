@@ -16,8 +16,14 @@ from gaussreg_tpu.config import Config
 from gaussreg_tpu.data.pipeline import PairBatch, make_pair_batch
 
 # bump when the generated distribution changes: tools/trainval.py keys its
-# on-disk batch cache on this so stale pyramids are never replayed
-DATA_VERSION = 2
+# on-disk batch cache on this so stale pyramids are never replayed.
+# v3 (VERDICT r3 #4): FPS spacing floor per view (the real loader FPS-
+# downsamples to 30k AFTER filtering — dataset.py:122-130 — enforcing a
+# minimum spacing that v2's direct sampling lacked; volume-norm-compressed
+# ghost blobs could reach z-run densities real clouds cannot), plus a
+# "hard" evaluation tier (overlap 0.3-0.65, scale aug up to the reference's
+# 1-4x extremes) so held-out recall is no longer saturated at 1.0.
+DATA_VERSION = 3
 
 
 def random_pair(
@@ -27,11 +33,15 @@ def random_pair(
     scale_range=(1.0, 2.5),
     overlap: float | None = None,
     normalize_volume: bool = True,
+    tier: str = "easy",
 ):
     """Returns (ref_points, ref_feats, src_points, src_feats, transform).
 
     `overlap` None draws the shared fraction uniformly from [0.65, 0.9] per
     pair — partial-overlap variety like two real scans of one scene.
+    `tier="hard"` is the non-saturated held-out tier: overlap drawn from
+    [0.3, 0.65] and the per-cloud scale augmentation always applied with the
+    reference's full 1-4x range (dataset.py:181-191).
 
     `normalize_volume` runs both views through the reference's per-cloud
     scale augmentation + volume normalization (dataset.py:170-212, :132-168
@@ -41,10 +51,22 @@ def random_pair(
     real pairs sit near scale 1) and one where level-1 src spacing in the
     ref frame (0.05 * s) starves the 0.05-radius fine-matching supervision
     (measured round 2: f_loss flat at ~2.9, fine IR 0.013, val RR 0)."""
+    if tier not in ("easy", "hard"):
+        raise ValueError(f"unknown tier {tier!r}")
     rng = np.random.default_rng(seed)
     if overlap is None:
-        overlap = float(rng.uniform(0.65, 0.9))
+        lo_hi = (0.3, 0.65) if tier == "hard" else (0.65, 0.9)
+        overlap = float(rng.uniform(*lo_hi))
+    if tier == "hard" and scale_range == (1.0, 2.5):
+        scale_range = (1.0, 4.0)
     n = num_points or min(cfg.train.point_limit, cfg.capacity.levels[0])
+    # FPS spacing floor (v3): synthesize an oversampled scene and FPS each
+    # view down to its target count, mirroring the real loader's
+    # fpsample-then-normalize order (reference dataset.py:122-130). This
+    # bounds local density everywhere — dense clutter blobs get thinned
+    # exactly as real reconstruction artifacts would.
+    n_final = n
+    n = 2 * n
     # structured indoor-like scene: floor + walls + boxes + spheres, with
     # per-surface colors — gives KPConv distinctive local geometry to learn
     # (pure gaussian blobs are self-similar and unlearnable)
@@ -142,7 +164,7 @@ def random_pair(
     def ghost_cloud():
         """Per-view clutter: a small floating blob seen by only one scan
         (reconstruction artifacts / objects moved between captures)."""
-        cnt = int(rng.integers(max(1, n // 100), max(2, n // 40)))
+        cnt = int(rng.integers(max(1, n_final // 100), max(2, n_final // 40)))
         center = np.array(
             [rng.uniform(0.2, ext[0] - 0.2),
              rng.uniform(0.1, h * 0.8),
@@ -161,6 +183,18 @@ def random_pair(
     ref_points = np.concatenate([ref_points, ghost_rp])
     ref_feats = np.concatenate([ref_feats, ghost_rf])
 
+    # v3 spacing floor: FPS each oversampled view down to its v2-sized
+    # target (0.8 * n_final scene points + the ghost count)
+    from gaussreg_tpu.ops.subsample import furthest_point_sample_host
+
+    ref_target = int(n_final * 0.8) + ghost_rp.shape[0]
+    if ref_points.shape[0] > ref_target:
+        keep = furthest_point_sample_host(
+            ref_points, ref_target, seed=int(rng.integers(1 << 31))
+        )
+        ref_points = ref_points[keep]
+        ref_feats = ref_feats[keep]
+
     from scipy.spatial.transform import Rotation
 
     s = rng.uniform(*scale_range)
@@ -171,8 +205,17 @@ def random_pair(
     m[:3, 3] = t
     inv = np.linalg.inv(m)
     src_scene = np.concatenate([pts[src_sel].astype(np.float32), ghost_sp])
-    src_points = (src_scene @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
     src_feats = np.concatenate([feats[src_sel], ghost_sf])
+    src_target = int(n_final * 0.8) + ghost_sp.shape[0]
+    if src_scene.shape[0] > src_target:
+        # FPS selection is similarity-invariant, so sampling in the scene
+        # frame (pre-transform) picks the same spread the src scan would
+        keep = furthest_point_sample_host(
+            src_scene, src_target, seed=int(rng.integers(1 << 31))
+        )
+        src_scene = src_scene[keep]
+        src_feats = src_feats[keep]
+    src_points = (src_scene @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
     # measurement noise
     ref_points += rng.normal(scale=0.0025, size=ref_points.shape).astype(np.float32)
     src_points += rng.normal(scale=0.0025, size=src_points.shape).astype(np.float32)
@@ -188,7 +231,7 @@ def random_pair(
         rotation = m[:3, :3].copy()
         translation = m[:3, 3].copy()
         aug = rng.uniform() * 3.0 + 1.0
-        if rng.uniform() > 0.5:
+        if tier == "hard" or rng.uniform() > 0.5:
             c = aug if rng.uniform() > 0.5 else 1.0 / aug
             src_points = src_points * c
             rotation = rotation / c

@@ -132,47 +132,29 @@ def bin_gaussians(
     # gathers cost ~6 ns/element on this backend (PERF.md) — 1.6M of them
     # would eat the entire win. A gaussian is cullable iff its depth
     # exceeds the MAX saturation depth over its bbox tiles; that range-max
-    # comes from one gather into a pooled stack selected by bbox size
-    # (max-pooling only as wide as the bbox needs keeps the test exact —
-    # a single globally dilated image would let one unsaturated tile
-    # shield its whole neighbourhood):
-    #   level 0 (bbox 1x1):  the sat image itself, indexed at (y0, x0)
-    #   level 1 (<= 2x2):    max over [i..i+1, j..j+1], indexed at (y0, x0)
-    #   level 2..5 (<= 3/5/7/9): odd 'SAME' max windows, indexed at the
-    #     bbox center (an odd window w centered at the bbox center covers
-    #     any bbox up to w wide). Covering big bboxes matters: ~1/3 of
-    #     the bench scene's gaussians span > 3x3 tiles, and exempting
-    #     them measured 67% live vs the exact test's 35% (PERF.md r3).
-    # Larger than 9x9: live.
+    # comes from ONE gather into a stack of ANCHORED max-pools: level w
+    # holds P_w[y, x] = max sat_img[y .. y+w-1, x .. x+w-1], so a bbox
+    # anchored at (y0, x0) with max dimension d is covered EXACTLY by
+    # level w = d indexed at (y0, x0) — no centering slop (the round-3
+    # centered-'SAME' stack over-covered even bboxes by a tile per side
+    # and kept 53.8k/100k live vs the exact test's 35.5k on the bench
+    # scene; anchored pools are exact for every size <= 9, PERF.md r4).
+    # Larger than 9x9: live (rare; they dominate tiles anyway).
     if sat_depth is not None:
         sat_img = sat_depth.reshape(nty, ntx) * jnp.float32(sat_margin)
-        pools = [
-            sat_img,
-            jax.lax.reduce_window(
-                sat_img, -jnp.inf, jax.lax.max, (2, 2), (1, 1),
-                ((0, 1), (0, 1)),
-            ),
-        ]
-        for w in (3, 5, 7, 9):
+        pools = [sat_img]
+        for w in range(2, 10):
             pools.append(
                 jax.lax.reduce_window(
-                    sat_img, -jnp.inf, jax.lax.max, (w, w), (1, 1), "SAME"
+                    sat_img, -jnp.inf, jax.lax.max, (w, w), (1, 1),
+                    ((0, w - 1), (0, w - 1)),
                 )
             )
         stack = jnp.concatenate([p.reshape(-1) for p in pools])
-        cxt = (x0 + x1) // 2
-        cyt = (y0 + y1) // 2
         size = jnp.maximum(bw, bh)
-        # size 1,2 -> level 0,1 (anchored); 3 -> 2; 4,5 -> 3; 6,7 -> 4;
-        # 8,9 -> 5 (window = next odd >= size)
-        lvl = jnp.where(
-            size <= 2,
-            jnp.maximum(size - 1, 0),
-            jnp.clip(2 + (size - 2) // 2, 2, 5),
-        )
-        ix = jnp.where(lvl >= 2, cyt * ntx + cxt, y0 * ntx + x0)
-        look = stack[lvl * num_tiles + ix]
-        small = (bw <= 9) & (bh <= 9)
+        lvl = jnp.clip(size, 1, 9) - 1
+        look = stack[lvl * num_tiles + y0 * ntx + x0]
+        small = size <= 9
         live = alive & ((~small) | (depths <= look))
     else:
         live = alive

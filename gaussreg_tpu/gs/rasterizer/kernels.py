@@ -224,14 +224,18 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int, orig_nblk
     # c0/c1/gpos index the uncompacted pair order for row masking
 
     def kernel(
-        starts_ref, offs_ref, pair_ref, ct_ref, grad_out_ref,
+        starts_ref, offs_ref, blksrc_ref, pair_ref, ct_ref, grad_out_ref,
         chunk, gchunk, sem, gsem, t_row, vp_row,
     ):
         # ct_ref block: (1, 7, NPIX) = [d_r, d_g, d_b, d_depth, d_T,
         # T_final, v] with v = sum over the 4 color channels of
-        # d_ch * final_ch. Inputs AND per-pair gradient blocks live in the
-        # saturation-compacted layout: tile t owns blocks
-        # [offs_ref[t], offs_ref[t + 1]) exclusively (module docstring).
+        # d_ch * final_ch. INPUT blocks stay in the original sorted layout
+        # (pair_ref) and are fetched through the compacted->original map
+        # blksrc_ref — an XLA pre-gather of the kept blocks measured
+        # 1.8 ms at 2k x 8 KB rows (byte-bound bad lowering, PERF.md r4);
+        # the in-kernel DMA costs nothing extra. Gradient blocks are
+        # WRITTEN to the compacted layout: tile t owns [offs_ref[t],
+        # offs_ref[t + 1]) exclusively (module docstring).
         t = pl.program_id(0)
         c0, c1, start_blk, _ = _segment(starts_ref, t, chunk_n, cap)
         base = offs_ref[t]
@@ -251,7 +255,7 @@ def _backward_kernel(ntx: int, tile_h: int, tile_w: int, chunk_n: int, orig_nblk
 
         def in_dma(slot, k):
             return pltpu.make_async_copy(
-                pair_ref.at[base + k], chunk.at[slot], sem.at[slot]
+                pair_ref.at[blksrc_ref[base + k]], chunk.at[slot], sem.at[slot]
             )
 
         def out_dma(slot, k):
@@ -400,28 +404,30 @@ def _rasterize_fwd_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("orig_nblk", "height", "width", "tile_h", "tile_w"),
+    static_argnames=("bwd_blocks", "height", "width", "tile_h", "tile_w"),
 )
 def _rasterize_bwd_impl(
-    pair_blocks2, starts, offs, ct_planes, orig_nblk, height, width,
+    pair_blocks, starts, offs, blk_src, ct_planes, bwd_blocks, height, width,
     tile_h, tile_w,
 ):
     """Backward over the saturation-compacted block list: tile t's kept
-    input blocks AND its gradient output blocks live at [offs[t],
-    offs[t + 1]) of the (bwd_blocks, NCHAN, CHUNK) buffers."""
-    chunk_n = pair_blocks2.shape[2]
-    bwd_blocks = pair_blocks2.shape[0]
+    blocks are read straight from the ORIGINAL sorted layout through
+    `blk_src` (compacted index -> original block id, scalar-prefetched so
+    the kernel's own DMA does the compaction); gradient output blocks are
+    written to [offs[t], offs[t + 1]) of the (bwd_blocks, ...) buffer."""
+    chunk_n = pair_blocks.shape[2]
+    orig_nblk = pair_blocks.shape[0]
     ntx = width // tile_w
     nty = height // tile_h
     num_tiles = ntx * nty
     npix = tile_h * tile_w
     ct_tiles = _image_to_tiles(ct_planes, nty, ntx, tile_h, tile_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 7, npix), lambda t, starts, offs: (t, 0, 0)),
+            pl.BlockSpec((1, 7, npix), lambda t, starts, offs, blk_src: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -441,7 +447,7 @@ def _rasterize_bwd_impl(
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() != "tpu",
-    )(starts, offs, pair_blocks2, ct_tiles)
+    )(starts, offs, blk_src, pair_blocks, ct_tiles)
     return grads
 
 
@@ -527,13 +533,10 @@ def _bwd(height, width, tile_h, tile_w, bwd_capacity_blocks, residuals, cts):
     )
     tile_of = jnp.cumsum(marks)  # (nblk2,)
     k_of = jnp.arange(nblk2, dtype=jnp.int32) - offs[tile_of]
+    # compacted -> original block map; the kernel DMAs through it directly
+    # (boundary blocks shared by two tiles are fetched twice — gradient
+    # writes stay tile-private with zero slack)
     blk_src = jnp.clip(start_blk[tile_of] + k_of, 0, nblk - 1)
-    # gather the kept input blocks (boundary blocks shared by two tiles are
-    # duplicated — gradient writes become tile-private with zero slack)
-    pair_blocks2 = (
-        pair_blocks.reshape(nblk, -1)[blk_src]
-        .reshape(nblk2, NCHAN, chunk_n)
-    )
 
     d_planes = jnp.concatenate(
         [jnp.moveaxis(d_rgb, -1, 0), d_depth[None]], axis=0
@@ -546,7 +549,7 @@ def _bwd(height, width, tile_h, tile_w, bwd_capacity_blocks, residuals, cts):
         [d_planes, d_t[None], t_final[None], v[None]], axis=0
     )
     grads = _rasterize_bwd_impl(
-        pair_blocks2, starts, offs, ct_planes, nblk, height, width,
+        pair_blocks, starts, offs, blk_src, ct_planes, nblk2, height, width,
         tile_h, tile_w,
     )
 

@@ -45,6 +45,43 @@ def compute_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     return m @ jnp.swapaxes(m, -1, -2)
 
 
+def _cov_cam_entries(scales, quats, w):
+    """Camera-space covariance entries (c00, c01, c02, c11, c12, c22), each
+    (G,) — W (R S S^T R^T) W^T computed as UNROLLED elementwise arithmetic.
+
+    The obvious batched form ((G,3,3) @ (G,3,3) dot_generals) pads the
+    3-wide contraction onto 8x128 MXU tiles: measured 2.9 ms fwd+bwd at
+    G=100k on a v5e — ~30x above the flop bound. Elementwise scalar chains
+    fuse into a handful of VPU passes instead (PERF.md round 4)."""
+    qr, qi, qj, qk = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    two_s = 2.0 / jnp.sum(quats * quats, axis=-1)
+    r = [
+        [1 - two_s * (qj * qj + qk * qk), two_s * (qi * qj - qk * qr),
+         two_s * (qi * qk + qj * qr)],
+        [two_s * (qi * qj + qk * qr), 1 - two_s * (qi * qi + qk * qk),
+         two_s * (qj * qk - qi * qr)],
+        [two_s * (qi * qk - qj * qr), two_s * (qj * qk + qi * qr),
+         1 - two_s * (qi * qi + qj * qj)],
+    ]
+    s2 = [scales[:, j] * scales[:, j] for j in range(3)]
+    # cov3d[i][k] = sum_j R[i][j] R[k][j] s_j^2 (symmetric)
+    c3 = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for k in range(i, 3):
+            c3[i][k] = sum(r[i][j] * r[k][j] * s2[j] for j in range(3))
+            c3[k][i] = c3[i][k]
+    # rows of W C3: wc[i][k] = sum_j W[i,j] c3[j][k]; then (W C3) W^T
+    wc = [
+        [sum(w[i, j] * c3[j][k] for j in range(3)) for k in range(3)]
+        for i in range(3)
+    ]
+
+    def cc(i, l):
+        return sum(wc[i][k] * w[l, k] for k in range(3))
+
+    return cc(0, 0), cc(0, 1), cc(0, 2), cc(1, 1), cc(1, 2), cc(2, 2)
+
+
 def project_gaussians(
     means3d: jnp.ndarray,
     scales: jnp.ndarray,
@@ -84,8 +121,7 @@ def project_gaussians(
         [camera.fx * x_ndc + camera.cx, camera.fy * y_ndc + camera.cy], axis=1
     )
 
-    cov3d = compute_cov3d(scales, quats)  # (G, 3, 3)
-    cov_cam = jnp.einsum("ij,gjk,lk->gil", w, cov3d, w)
+    c00, c01, c02, c11, c12, c22 = _cov_cam_entries(scales, quats, w)
 
     # perspective Jacobian (2, 3) per gaussian; x/y clamped to a slightly
     # expanded frustum like 3DGS to tame off-screen gradients
@@ -99,12 +135,6 @@ def project_gaussians(
     j11 = fy / zc
     j12 = -fy * ty / (zc * zc)
     # cov2d = J cov_cam J^T, J = [[j00, 0, j02], [0, j11, j12]]
-    c00 = cov_cam[:, 0, 0]
-    c01 = cov_cam[:, 0, 1]
-    c02 = cov_cam[:, 0, 2]
-    c11 = cov_cam[:, 1, 1]
-    c12 = cov_cam[:, 1, 2]
-    c22 = cov_cam[:, 2, 2]
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + blur
     b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
     c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + blur

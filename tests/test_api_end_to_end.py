@@ -75,6 +75,30 @@ def test_register_and_fuse_plumbing(tmp_path):
     assert np.isfinite(est).all()
     assert result["ransac_inliers"] >= 0
 
+    # demo output parity (reference demo.py:171-180): original ref/src clouds
+    # and the transformed src cloud land on disk next to the npz
+    from gaussreg_tpu.api import write_demo_outputs
+    from gaussreg_tpu.gs.ply import read_ply_vertex
+    from gaussreg_tpu.utils.pointcloud import apply_transform_np
+
+    out_dir = str(tmp_path / "demo_out")
+    paths = write_demo_outputs(out_dir, result)
+    names = {p.split("/")[-1] for p in paths}
+    assert names == {
+        "point_cloud_src_org.ply",
+        "point_cloud_ref.ply",
+        "point_cloud_src.ply",
+        "estimated_transform.npz",
+    }
+    src_org = read_ply_vertex(str(tmp_path / "demo_out/point_cloud_src_org.ply"))
+    src_tr = read_ply_vertex(str(tmp_path / "demo_out/point_cloud_src.ply"))
+    org = np.stack([src_org["x"], src_org["y"], src_org["z"]], axis=1)
+    tr = np.stack([src_tr["x"], src_tr["y"], src_tr["z"]], axis=1)
+    np.testing.assert_allclose(
+        tr, apply_transform_np(org, est), rtol=1e-4, atol=1e-4
+    )
+    assert {"red", "green", "blue"} <= set(src_tr.keys())
+
     # fusion with the GT transform produces a merged, valid model
     tpath = str(tmp_path / "t.npz")
     np.savez(tpath, estimated_transform=m)

@@ -173,3 +173,50 @@ def test_eval_scannet_cli_end_to_end(fake_root, tmp_path, capsys, monkeypatch):
     for scene, t in est.items():
         assert t.shape == (4, 4)
         assert np.all(np.isfinite(t))
+
+
+def test_released_weights_eval_end_to_end(fake_root, tmp_path, capsys, monkeypatch):
+    """The reference deliverable workflow (README.md:115-124): download a
+    pretrained snapshot -> test.py. One piece in CI: full-format torch
+    snapshot -> convert -> per-layer-geometry model rebuild -> eval over the
+    fake ScanNet tree -> recall printout (VERDICT r3 missing #2)."""
+    torch = pytest.importorskip("torch")
+    from gaussreg_tpu.engine.torch_import import fake_reference_state_dict
+
+    sd = {k: torch.from_numpy(v) for k, v in fake_reference_state_dict().items()}
+    snap = str(tmp_path / "snapshot.pth.tar")
+    # reference snapshot format: base_trainer.py:112-165 ({'model': state,
+    # 'epoch': ..., 'iteration': ...})
+    torch.save({"model": sd, "epoch": 40, "iteration": 12345}, snap)
+
+    out = str(tmp_path / "eval_out")
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "eval_scannet.py",
+            "--scannet_path", fake_root,
+            "--output_path", out,
+            "--num_sample", "600",
+            "--limit_scenes", "1",
+            "--tiny_capacities",
+            "--torch_snapshot", snap,
+        ],
+    )
+    runpy.run_path(
+        os.path.join(os.path.dirname(__file__), "..", "tools", "eval_scannet.py"),
+        run_name="__main__",
+    )
+    captured = capsys.readouterr().out
+    # conversion happened, per-layer geometry was detected (reference
+    # checkpoints carry per-layer random kernel rotations), and the eval
+    # printed its recall table
+    assert "torch import:" in captured
+    assert "per_layer_geometry=True" in captured
+    assert "rre_avg:" in captured
+    assert "rse < 0.2:" in captured
+    est = np.load(
+        os.path.join(out, "estimated_transform.npz"), allow_pickle=True
+    )["estimated_transform_list"].item()
+    for t in est.values():
+        assert t.shape == (4, 4)
+        assert np.all(np.isfinite(t))

@@ -52,8 +52,11 @@ def test_trained_checkpoint_registers_heldout_pairs():
     # held-out seeds: the training stream draws from default_rng(seed+epoch)
     # integers < 2^31; the 20_xxx_xxx block matches the val convention in
     # tools/trainval.py but is checked disjoint by construction here
+    # >= 8 pairs (VERDICT r3 weak #5: 2 pairs could miss a regression that
+    # breaks half the transcript); same held-out block the 32-pair
+    # checkpoints/eval_transcript.json draws from
     results = []
-    for i in range(2):
+    for i in range(8):
         seed = 20_000_000 + i
         rp, rf, sp, sf, m = random_pair(cfg, seed)
         batch = make_pair_batch(cfg, rp, rf, sp, sf, m)

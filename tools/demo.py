@@ -14,8 +14,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
 
 def main():
     parser = argparse.ArgumentParser()
@@ -82,12 +80,13 @@ def main():
         cameras_json=args.cameras_json,
     )
 
-    os.makedirs(args.output_dir, exist_ok=True)
-    out_path = os.path.join(args.output_dir, "estimated_transform.npz")
-    np.savez(out_path, estimated_transform=result["transform"])
+    from gaussreg_tpu.api import write_demo_outputs
+
+    paths = write_demo_outputs(args.output_dir, result)
     print(f"estimated transform (src -> ref):\n{result['transform']}")
     print(f"RANSAC inliers: {result['ransac_inliers']}")
-    print(f"saved {out_path}")
+    for p in paths:
+        print(f"saved {p}")
 
 
 if __name__ == "__main__":

@@ -44,6 +44,12 @@ def main():
         "--tiny", action="store_true",
         help="tiny capacities (CPU integration tests of the pkl/npz path)",
     )
+    parser.add_argument(
+        "--tiny_capacities", action="store_true",
+        help="full reference network dims with tiny pyramid capacities: "
+        "CI for the released-weights path (--torch_snapshot needs the "
+        "reference's channel shapes, but CPU needs small point counts)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -75,6 +81,23 @@ def main():
         cfg = make_tiny_cfg()
     else:
         cfg = make_cfg()
+    if args.tiny_capacities:
+        import dataclasses
+
+        from gaussreg_tpu.config import CapacityConfig
+
+        cfg = dataclasses.replace(
+            cfg,
+            capacity=CapacityConfig(
+                levels=(1024, 512, 256, 96, 48),
+                neighbor_limits=(24, 16, 16, 16, 16),
+                max_correspondences=256,
+                max_patch_correspondences=32,
+            ),
+            ransac=dataclasses.replace(
+                cfg.ransac, num_iterations_test=256
+            ),
+        )
     model = create_model(cfg)
     rp, rf, sp, sf, m = random_pair(cfg, 0, num_points=min(2000, cfg.capacity.levels[0]))
     example = make_pair_batch(cfg, rp, rf, sp, sf, m)

@@ -35,6 +35,11 @@ def main():
     )
     parser.add_argument("--output", default=None)
     parser.add_argument(
+        "--tier", default="easy", choices=("easy", "hard"),
+        help="held-out difficulty tier (hard: overlap 0.3-0.65, scale aug "
+        "to the reference's 1-4x extremes — the non-saturated recall curve)",
+    )
+    parser.add_argument(
         "--tiny", action="store_true",
         help="tiny capacities (CPU smoke run of the harness itself)",
     )
@@ -65,7 +70,7 @@ def main():
     rows = []
     for i in range(args.pairs):
         seed = args.seed_base + i
-        rp, rf, sp, sf, m = random_pair(cfg, seed)
+        rp, rf, sp, sf, m = random_pair(cfg, seed, tier=args.tier)
         batch = make_pair_batch(cfg, rp, rf, sp, sf, m)
         t0 = time.time()
         _, metrics = eval_step(params, batch, jax.random.PRNGKey(i))
@@ -85,6 +90,7 @@ def main():
 
     summary = {
         "num_pairs": len(rows),
+        "tier": args.tier,
         "mean_RRE_deg": float(arr("RRE").mean()),
         "mean_RTE": float(arr("RTE").mean()),
         "mean_RSE": float(arr("RSE").mean()),
@@ -99,7 +105,8 @@ def main():
     }
     print(json.dumps(summary, indent=2))
     out = args.output or os.path.join(
-        os.path.dirname(args.weights) or ".", "eval_transcript.json"
+        os.path.dirname(args.weights) or ".",
+        "eval_transcript.json" if args.tier == "easy" else f"eval_transcript_{args.tier}.json",
     )
     with open(out, "w") as f:
         json.dump({"summary": summary, "pairs": rows}, f, indent=1)

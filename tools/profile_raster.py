@@ -193,13 +193,13 @@ def main():
     timed_slope("bwd gid scatter-add accumulation", accum_only, big_args=(grows0,))
 
     ct0 = jnp.ones((7, hp, wp), jnp.float32)
-    def pallas_bwd(i, pb2):
+    def pallas_bwd(i, pb):
         grads = kernels._rasterize_bwd_impl(
-            pb2 + 1e-9 * i, binning.starts, offs, ct0, nblk, hp, wp,
+            pb + 1e-9 * i, binning.starts, offs, blk_src, ct0, nblk2, hp, wp,
             tile_h, tile_w)
         return grads[::17, 0, :].sum()
     timed_slope("pallas bwd kernel alone (compacted)", pallas_bwd,
-                big_args=(pair_blocks2,))
+                big_args=(pair_blocks,))
 
     # --- full render fwd
     def full_fwd(i):
