@@ -23,23 +23,33 @@ import time
 
 
 def _slope(fn, big, r_lo, r_hi, n_meas=3):
+    """Per-rep seconds of fn via the slope method (PERF.md).
+
+    Every timed call carries a fresh `salt` operand folded into fn's rep
+    index, so no two transport requests are identical — the axon relay
+    memoizes repeated identical executions, which silently turns repeat
+    calls into ~RTT no-ops and corrupts the slope (the round-3 "22.3
+    pairs/s" artifact, PERF.md round 4)."""
+    import itertools
+
     import jax
     import jax.numpy as jnp
 
-    def looped(big, R):
+    def looped(big, salt, R):
         def body(i, acc):
-            return acc + fn(i, *big)
+            return acc + fn(i + salt, *big)
         return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
 
     f = jax.jit(looped, static_argnames="R")
-    float(f(big, R=r_lo))
-    float(f(big, R=r_hi))
+    float(f(big, 0, R=r_lo))
+    float(f(big, 0, R=r_hi))
+    salt = itertools.count(1)
 
     def meas(R):
         ts = []
         for _ in range(n_meas):
             t0 = time.time()
-            float(f(big, R=R))
+            float(f(big, next(salt), R=R))
             ts.append(time.time() - t0)
         return min(ts)
 
@@ -147,7 +157,7 @@ def bench_registration():
         )
         return jnp.sum(out["estimated_transform"])
 
-    dt = _slope(one, (batch, params), r_lo=1, r_hi=3, n_meas=2)
+    dt = _slope(one, (batch, params), r_lo=2, r_hi=8, n_meas=3)
     return 1.0 / dt
 
 

@@ -105,13 +105,23 @@ def bin_gaussians(
     mx = means2d[:, 0]
     my = means2d[:, 1]
     r = radii
-    alive = r > 0
     # anisotropic per-axis extents: the AABB of the exact alpha >= 1/255
     # ellipse. NOT min'd with `r` (the display radius carries a 3-sigma
     # cap; the contour can sit at 3.33 sigma for opaque splats and
     # re-capping would over-cull — parity test catches it)
     hx = extents[:, 0] if extents is not None else r
     hy = extents[:, 1] if extents is not None else r
+    # a gaussian whose AABB misses the image rect entirely is dead. For
+    # whole-image renders this is a no-op (projection culls off-screen);
+    # for render_sharded's row slices it is what clips each slice's live
+    # set to its own band — without it every slice would count (and, with
+    # live_cap, compact) all on-screen gaussians (clamped 1x1 bboxes at
+    # the border would then leak through the saturation test).
+    alive = (
+        (r > 0)
+        & (mx + hx >= 0) & (mx - hx < width)
+        & (my + hy >= 0) & (my - hy < height)
+    )
 
     x0 = jnp.floor((mx - hx) / tile_w).astype(jnp.int32)
     x1 = jnp.floor((mx + hx) / tile_w).astype(jnp.int32)

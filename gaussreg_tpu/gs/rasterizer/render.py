@@ -302,6 +302,10 @@ def render_sharded(
     max_tiles_per_gaussian: int = 16,
     sh_degree: int = 3,
     pair_capacity_blocks: int | None = None,
+    bwd_capacity_blocks: int | None = None,
+    sat_depth=None,
+    live_gaussian_cap: int | None = None,
+    sat_margin: float = 1.05,
 ) -> RenderOutput:
     """Multi-chip differentiable render: image rows sharded over `axis_name`.
 
@@ -313,7 +317,16 @@ def render_sharded(
     compute, ~0.1 ms); backward all-reduces the gaussian-parameter
     cotangents via shard_map's transpose of the replicated in_specs, riding
     ICI. Output rgb/depth/transmittance are row-sharded device arrays;
-    overflow counters are psum'd totals.
+    num_pairs / overflow / overflow_cap are psum'd totals.
+
+    Saturation culling matches `render()` (v5): `sat_depth` is the
+    row-sharded per-tile depth array a previous `render_sharded` of ~this
+    scene emitted (slice-local tile grids stack to the global row-major
+    grid, so the fed-back array re-shards to exactly the tiles each slice
+    owns). `live_gaussian_cap` / `bwd_capacity_blocks` are PER-SLICE
+    static caps; size them from a probe's `num_live` / `sat_blocks`, which
+    this path reports as the MAX over slices (each slice culls and
+    compacts independently — a sum would over-size every slice).
 
     mt-overflow accounting is per-slice (a gaussian's bbox is clipped to
     each slice before the `max_tiles_per_gaussian` cap), so `overflow` can
@@ -337,8 +350,10 @@ def render_sharded(
         width,
         height,
     )
+    has_sat = sat_depth is not None
 
-    def slice_body(means3d, scales, quats, opacities, sh_coeffs, w2c, valid):
+    def slice_body(means3d, scales, quats, opacities, sh_coeffs, w2c, valid,
+                   *rest):
         fx, fy, cx, cy, w, h = camera_static
         cam = Camera(w2c, fx, fy, cx, cy, w, h)
         proj = project_gaussians(
@@ -353,38 +368,42 @@ def render_sharded(
             sat_depth_loc, num_live,
         ) = _bin_and_rasterize(
             proj, local_h, wp, tile_h, tile_w, max_tiles_per_gaussian,
-            pair_capacity_blocks,
+            pair_capacity_blocks, bwd_capacity_blocks,
+            sat_depth=rest[0] if has_sat else None,
+            live_cap=live_gaussian_cap, sat_margin=sat_margin,
         )
-        scalars = jax.lax.psum(
-            jnp.stack([num_pairs, overflow, overflow_cap, sat_blocks]),
-            axis_name,
+        sums = jax.lax.psum(
+            jnp.stack([num_pairs, overflow, overflow_cap]), axis_name
         )
+        # per-slice static caps are sized from the busiest slice
+        maxes = jax.lax.pmax(jnp.stack([sat_blocks, num_live]), axis_name)
         # local tile grids stack to the global row-major grid (each slice
         # owns local_h/tile_h consecutive tile rows)
-        return rgb, depth, t, proj.radii, scalars, sat_depth_loc, num_live
+        return rgb, depth, t, proj.radii, sums, maxes, sat_depth_loc
 
     body = jax.shard_map(
         slice_body,
         mesh=mesh,
-        in_specs=(P(),) * 7,
+        in_specs=(P(),) * 7 + ((P(axis_name),) if has_sat else ()),
         out_specs=(
-            P(axis_name), P(axis_name), P(axis_name), P(), P(),
-            P(axis_name), P(),
+            P(axis_name), P(axis_name), P(axis_name), P(), P(), P(),
+            P(axis_name),
         ),
         check_vma=False,
     )
-    rgb, depth, t, radii, scalars, sat_depth_all, num_live = body(
-        means3d, scales, quats, opacities, sh_coeffs, camera.w2c, valid
-    )
+    args = (means3d, scales, quats, opacities, sh_coeffs, camera.w2c, valid)
+    if has_sat:
+        args += (sat_depth,)
+    rgb, depth, t, radii, sums, maxes, sat_depth_all = body(*args)
     return RenderOutput(
         rgb[:height, :width],
         depth[:height, :width],
         t[:height, :width],
         radii,
-        scalars[0],
-        scalars[1],
-        scalars[2],
-        scalars[3],
+        sums[0],
+        sums[1],
+        sums[2],
+        maxes[0],
         sat_depth_all,
-        num_live,
+        maxes[1],
     )

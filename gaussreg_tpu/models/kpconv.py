@@ -174,15 +174,22 @@ class KPConv(nn.Module):
             )
         influence, count = geometry
 
-        nf = batched_gather(s_feats, neighbor_indices, fill=0.0)  # (B, M, H, C)
         # bf16 inputs + f32 accumulation: these einsums dominate backbone
         # time (batched small matmuls); f32 MXU matmuls cost 3 passes, bf16
         # one. Activation precision loss is negligible for the network.
+        # The cast happens BEFORE the neighbor gather: XLA row-gather cost
+        # is source-size sensitive (2.2 ns/row under ~13 MB, 6.4 ns above —
+        # PERF.md), and level-0/1 f32 feature tables sit just above the
+        # knee while their bf16 halves sit under it. The einsum consumes
+        # bf16 either way, so this changes cost, not values.
         bf = jnp.bfloat16
+        nf = batched_gather(
+            s_feats.astype(bf), neighbor_indices, fill=0.0
+        )  # (B, M, H, C)
         weighted = jnp.einsum(
             "bmhk,bmhc->bmkc",
             influence.astype(bf),
-            nf.astype(bf),
+            nf,
             preferred_element_type=jnp.float32,
         )
         out = jnp.einsum(

@@ -57,6 +57,17 @@ def main():
     src = transform_gaussians_device(ref, jnp.asarray(np.linalg.inv(err)))
     cams = default_cameras(np.asarray(ref.means), num_views=4)
 
+    from gaussreg_tpu.models.metrics import isotropic_transform_error
+
+    gt = jnp.asarray(err)  # the transform fine_register should recover
+
+    def quality(est):
+        rre, rte, rse = isotropic_transform_error(gt, est)
+        return float(rre), float(rte), float(rse)
+
+    rre0, rte0, ds0 = quality(jnp.eye(4))
+    print(f"coarse residual: RRE {rre0:.3f} deg, RTE {rte0:.4f}, RSE {ds0:.4f}")
+
     for cull in (True, False):
         t0 = time.time()
         out = fine_register(
@@ -72,11 +83,13 @@ def main():
         )
         float(out2.losses[-1])
         dt2 = time.time() - t1
+        rre, rte, ds = quality(out2.transform)
         print(
             f"sat_cull={cull}: first {dt:.1f}s (incl compile), "
             f"second {dt2:.1f}s -> {dt2 / steps * 1e3:.0f} ms/step "
-            f"({4} views/step), overflow={int(out.overflow)}, "
-            f"final_loss={final_loss:.4f}",
+            f"({len(cams)} views/step), overflow={int(out.overflow)}, "
+            f"final_loss={final_loss:.4f}, refined RRE {rre:.3f} deg, "
+            f"RTE {rte:.4f}, RSE {ds:.4f}",
             flush=True,
         )
 
