@@ -40,16 +40,17 @@ def _slope(fn, big, r_lo, r_hi, n_meas=3):
             return acc + fn(i + salt, *big)
         return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
 
-    f = jax.jit(looped, static_argnames="R")
-    float(f(big, 0, R=r_lo))
-    float(f(big, 0, R=r_hi))
+    # R is a TRACED loop bound: both slope points share one executable
+    # (remote compiles through the tunnel cost minutes for the big graphs)
+    f = jax.jit(looped)
+    float(f(big, 0, jnp.int32(r_lo)))
     salt = itertools.count(1)
 
     def meas(R):
         ts = []
         for _ in range(n_meas):
             t0 = time.time()
-            float(f(big, next(salt), R=R))
+            float(f(big, next(salt), jnp.int32(R)))
             ts.append(time.time() - t0)
         return min(ts)
 
@@ -101,14 +102,14 @@ def bench_rasterizer():
             means, scales, quats, opac, sh, cam, use_pallas=True,
             max_tiles_per_gaussian=16,
         )
-        bwd_cap = int(int(probe.sat_blocks) * 1.15) + 64
+        bwd_cap = int(int(probe.sat_blocks) * 1.10) + 32
         sat_depth = probe.sat_depth
         p2 = render(
             means, scales, quats, opac, sh, cam, use_pallas=True,
             max_tiles_per_gaussian=16, sat_depth=sat_depth,
         )
-        live_cap = -(-int(int(p2.num_live) * 1.10) // 256) * 256
-        pair_cap = (int(int(p2.num_pairs) * 1.15) + 127) // 128 + 8
+        live_cap = -(-int(int(p2.num_live) * 1.08) // 256) * 256
+        pair_cap = (int(int(p2.num_pairs) * 1.10) + 127) // 128 + 8
 
     def loss(m, s, q, o, c, sd):
         out = render(
@@ -130,11 +131,24 @@ def bench_rasterizer():
 
 
 def bench_registration():
+    """Full per-pair device cost: on-device pyramid (neighbor lists) +
+    backbone + transformer + matching + LGR + RANSAC. The POINTS are
+    perturbed per loop iteration — perturbing only features (or only the
+    RANSAC rng, as rounds 1-3 did) lets XLA hoist every point-dependent
+    stage out of the fori_loop as loop-invariant, so the slope measured
+    only the rng-dependent suffix (the round-3 '9.6 pairs/s' was the
+    RANSAC-SVD suffix alone; PERF.md round 4)."""
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
     from gaussreg_tpu.config import make_cfg
-    from gaussreg_tpu.data.pipeline import make_pair_batch
+    from gaussreg_tpu.data.pipeline import (
+        PairBatch,
+        build_pyramid,
+        make_pair_batch,
+        pad_cloud,
+    )
     from gaussreg_tpu.data.synthetic import random_pair
     from gaussreg_tpu.models.registration import create_model
 
@@ -150,14 +164,29 @@ def bench_registration():
     )
     params = init(jax.random.PRNGKey(0), batch)
 
-    def one(i, batch, params):
+    cap0 = cfg.capacity.levels[0]
+    rp_, rf_, rm_ = pad_cloud(rp, rf, cap0)
+    sp_, sf_, sm_ = pad_cloud(sp, sf, cap0)
+    points = jnp.asarray(np.stack([rp_, sp_]))
+    feats = jnp.asarray(np.stack([rf_, sf_]))
+    masks = jnp.asarray(np.stack([rm_, sm_]))
+
+    def one(i, points, feats, masks, params):
+        p = points + 1e-6 * jnp.float32(i)
+        pyr = build_pyramid(
+            p, masks, cfg.backbone.init_voxel_size, cfg.backbone.init_radius,
+            cfg.capacity.levels, cfg.capacity.neighbor_limits,
+            cfg.backbone.num_stages, window_rows0=cfg.capacity.window_rows0,
+        )
+        f = jnp.take_along_axis(feats, pyr.perm0[:, :, None], axis=1)
+        b = PairBatch(pyr, f, jnp.eye(4))
         out = model.apply(
-            params, batch, train=False, with_transform=True,
+            params, b, train=False, with_transform=True,
             rngs={"ransac": jax.random.fold_in(jax.random.PRNGKey(0), i)},
         )
         return jnp.sum(out["estimated_transform"])
 
-    dt = _slope(one, (batch, params), r_lo=2, r_hi=8, n_meas=3)
+    dt = _slope(one, (points, feats, masks, params), r_lo=2, r_hi=8, n_meas=3)
     return 1.0 / dt
 
 

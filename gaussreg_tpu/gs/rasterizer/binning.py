@@ -76,7 +76,7 @@ def bin_gaussians(
     width: int,
     height: int,
     tile_w: int = 32,
-    tile_h: int = 16,
+    tile_h: int = 32,
     max_tiles_per_gaussian: int = 16,
     chunk: int = 128,
     pair_capacity_blocks: int | None = None,
@@ -153,18 +153,28 @@ def bin_gaussians(
     if sat_depth is not None:
         sat_img = sat_depth.reshape(nty, ntx) * jnp.float32(sat_margin)
         pools = [sat_img]
-        for w in range(2, 10):
+        for w in range(2, 17):
             pools.append(
                 jax.lax.reduce_window(
                     sat_img, -jnp.inf, jax.lax.max, (w, w), (1, 1),
                     ((0, w - 1), (0, w - 1)),
                 )
             )
-        stack = jnp.concatenate([p.reshape(-1) for p in pools])
+        # stack layout (num_tiles, 16): row = anchor tile, columns =
+        # pool levels 1..16 (exactly one lane tile — bboxes up to 16x16
+        # are covered exactly; larger stay live). ONE whole-row take per
+        # gaussian + an elementwise one-hot column select — the
+        # (lvl * num_tiles + tile) element-gather form costs 6.6 ns/elem
+        # (0.66 ms at 100k, PERF.md round-4 trace); row takes are ~0.
+        stack = jnp.stack([p.reshape(-1) for p in pools], axis=1)
         size = jnp.maximum(bw, bh)
-        lvl = jnp.clip(size, 1, 9) - 1
-        look = stack[lvl * num_tiles + y0 * ntx + x0]
-        small = size <= 9
+        lvl = jnp.clip(size, 1, 16) - 1
+        rows = stack[y0 * ntx + x0]  # (G, 16) row gather
+        onehot = (
+            lvl[:, None] == jnp.arange(16, dtype=lvl.dtype)[None, :]
+        ).astype(rows.dtype)
+        look = jnp.sum(rows * onehot, axis=1)
+        small = size <= 16
         live = alive & ((~small) | (depths <= look))
     else:
         live = alive
@@ -249,7 +259,14 @@ def bin_gaussians(
 
     gid_payload = jnp.where(valid, gids[:, None], g).reshape(-1)
 
-    key_s, gid_s = jax.lax.sort((key, gid_payload), num_keys=1)
+    # is_stable=False: lax.sort is stable by default, which makes XLA carry
+    # a hidden iota payload through the sort (third 800k array, +~0.3 ms).
+    # Pairs with identical (tile, quantized depth) keys compose in
+    # arbitrary order either way — their contributions are near-equal by
+    # construction.
+    key_s, gid_s = jax.lax.sort(
+        (key, gid_payload), num_keys=1, is_stable=False
+    )
 
     probes = (
         jnp.arange(num_tiles + 1, dtype=jnp.uint32) << jnp.uint32(depth_bits)

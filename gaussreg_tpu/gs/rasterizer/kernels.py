@@ -458,7 +458,7 @@ def rasterize_gaussians(
     starts,
     height: int,
     width: int,
-    tile_h: int = 16,
+    tile_h: int = 32,
     tile_w: int = 32,
     bwd_capacity_blocks: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -558,14 +558,15 @@ def _bwd(height, width, tile_h, tile_w, bwd_capacity_blocks, residuals, cts):
     # the compacted end (offs[T]) were never written by the kernel
     # (uninitialized memory): route them to the sentinel row. Foreign /
     # dead rows inside written blocks are exact kernel zeros — harmless.
-    lane = jnp.arange(chunk_n, dtype=jnp.int32)
-    pos_orig = blk_src[:, None] * chunk_n + lane  # (nblk2, chunk)
+    # The gid map is a whole-ROW take from the (nblk, chunk) view of
+    # sorted_gid — the equivalent per-ELEMENT gather sorted_gid[pos]
+    # measured 1.78 ms at 268k elements (6.6 ns/elem, the slow gather
+    # form) vs ~0 for 2099 row takes (PERF.md round 4 trace).
     gnum = g1 - 1
-    live = (
-        (jnp.arange(nblk2, dtype=jnp.int32) < offs[num_tiles])[:, None]
-        & (pos_orig < cap)
-    )
-    gid = jnp.where(live, sorted_gid[jnp.minimum(pos_orig, cap - 1)], gnum)
+    live = (jnp.arange(nblk2, dtype=jnp.int32) < offs[num_tiles])[:, None]
+    gid = jnp.where(
+        live, sorted_gid.reshape(nblk, chunk_n)[blk_src], gnum
+    )  # (nblk2, chunk)
     grows = grads.transpose(0, 2, 1).reshape(-1, NCHAN)
     d_gdata = (
         jnp.zeros((g1, NCHAN), grows.dtype).at[gid.reshape(-1)].add(grows)

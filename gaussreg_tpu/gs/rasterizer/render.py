@@ -216,7 +216,7 @@ def render(
     sh_coeffs,
     camera: Camera,
     valid=None,
-    tile_h: int = 16,
+    tile_h: int = 32,
     tile_w: int = 32,
     max_tiles_per_gaussian: int = 16,
     sh_degree: int = 3,
@@ -297,7 +297,7 @@ def render_sharded(
     mesh,
     axis_name: str = "data",
     valid=None,
-    tile_h: int = 16,
+    tile_h: int = 32,
     tile_w: int = 32,
     max_tiles_per_gaussian: int = 16,
     sh_degree: int = 3,

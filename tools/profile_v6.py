@@ -31,7 +31,7 @@ def main():
     means, scales, quats, opac, sh, cam = make_scene()
     width, height = cam.width, cam.height
     n = means.shape[0]
-    tile_h, tile_w, mt = 16, 32, 16
+    tile_h, tile_w, mt = 32, 32, 16
     hp = ((height + tile_h - 1) // tile_h) * tile_h
     wp = ((width + tile_w - 1) // tile_w) * tile_w
 
