@@ -40,17 +40,19 @@ def _slope(fn, big, r_lo, r_hi, n_meas=3):
             return acc + fn(i + salt, *big)
         return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
 
-    # R is a TRACED loop bound: both slope points share one executable
-    # (remote compiles through the tunnel cost minutes for the big graphs)
-    f = jax.jit(looped)
-    float(f(big, 0, jnp.int32(r_lo)))
+    # R stays a STATIC loop bound (two executables): a traced trip count
+    # pessimizes the compiled loop body — measured 22.6 vs 32.0 Mrays/s
+    # and 0.55 vs ~5 pairs/s for identical bodies (PERF.md round 4)
+    f = jax.jit(looped, static_argnames="R")
+    float(f(big, 0, R=r_lo))
+    float(f(big, 0, R=r_hi))
     salt = itertools.count(1)
 
     def meas(R):
         ts = []
         for _ in range(n_meas):
             t0 = time.time()
-            float(f(big, next(salt), jnp.int32(R)))
+            float(f(big, next(salt), R=R))
             ts.append(time.time() - t0)
         return min(ts)
 

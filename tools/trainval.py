@@ -28,6 +28,11 @@ def main():
     parser.add_argument("--data_root", default=None)
     parser.add_argument("--output_dir", default="output/gaussreg_tpu")
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument(
+        "--init_from", default=None,
+        help="checkpoint to warm-start params from (fresh optimizer); "
+        "ignored when --resume finds a snapshot",
+    )
     parser.add_argument("--max_epoch", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None, help="global pairs per step (default: one per device)")
     parser.add_argument("--log_steps", type=int, default=10)
@@ -235,6 +240,12 @@ def main():
             params, opt_state, np.int32(meta.get("step", 0)), np.int32(0)
         )
         logger.info(f"resumed from {snapshot} at epoch {start_epoch}")
+    elif args.init_from:
+        # warm start: params only (fresh optimizer/schedule) — e.g. continue
+        # a previous campaign's checkpoint on a new DATA_VERSION
+        params = load_checkpoint(args.init_from, state.params, None)
+        state = state._replace(params=params)
+        logger.info(f"initialized params from {args.init_from}")
 
     train_step = make_train_step(model, cfg, tx, mesh=mesh)
     eval_step = make_eval_step(model, cfg)
@@ -252,7 +263,10 @@ def main():
     batch_treedef = jax.tree_util.tree_structure(example)
     cache_tag = "-".join(
         map(str, tuple(cfg.capacity.levels) + tuple(cfg.capacity.neighbor_limits))
-    ) + f"-{cfg.train.point_limit}-w{cfg.capacity.window_rows0}-v{DATA_VERSION}"
+    ) + (
+        f"-{cfg.train.point_limit}-w{cfg.capacity.window_rows0}"
+        f"-h{'_'.join(map(str, cfg.capacity.neighbor_limits))}-v{DATA_VERSION}"
+    )
     cache_dir = os.path.join(args.output_dir, "batch_cache", cache_tag)
 
     def cached_pair_batch(seed):
