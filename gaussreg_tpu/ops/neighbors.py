@@ -160,7 +160,9 @@ def _row_window_gather(src, rows, nrows: int):
     return jnp.stack(parts, axis=1).reshape(b, p, nrows, c)
 
 
-@functools.partial(jax.jit, static_argnames=("limit", "window_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("limit", "window_rows", "select_kernel")
+)
 def grid_radius_search(
     q_points: jnp.ndarray,  # (B, M, 3)
     s_points: jnp.ndarray,  # (B, N, 3)
@@ -169,6 +171,7 @@ def grid_radius_search(
     radius,
     limit: int,
     window_rows: int = 2,
+    select_kernel: str = "auto",  # auto|pallas|topk (pallas on CPU: interpret)
 ):
     """Batched grid-run pruned radius search (module docstring).
 
@@ -288,18 +291,38 @@ def grid_radius_search(
         diff = ca - q_points[:, :, None, None, a]
         d2 = d2 + diff * diff
     d2 = jnp.where(cand_valid, d2, _BIG)
-    # two-stage exact top-k: nearest `limit` per run first, then merge the
-    # 9 winners — ~2x cheaper than one top_k over the full 9*wspan width
-    # (top_k cost is ~0.2-0.3 ns/element and scales with width; the
-    # per-run winners are an exact superset of the global winners)
-    kk = min(limit, wspan)
-    neg1, slot1 = jax.lax.top_k(-d2, kk)  # (B, M, 9, kk)
-    neg, slot2 = jax.lax.top_k(neg1.reshape(b, m, 9 * kk), limit)
-    d2_sel = -neg
-    run = slot2 // kk
-    within_run = jnp.take_along_axis(
-        slot1.reshape(b, m, 9 * kk), slot2, axis=-1
-    )  # offset within the run's window
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = select_kernel == "pallas" or (
+        select_kernel == "auto" and on_tpu
+    )
+    if use_pallas:
+        # Pallas selection kernel: lax.top_k lowers to a full stable sort
+        # with an iota payload (~190 ms at (2,30720,9,256) — device trace,
+        # tools/trace_pyramid.py); extracting `limit` row minima from a
+        # VMEM block is pure VPU work. Flat position (run-major,
+        # window-offset-minor) reproduces the two-stage top_k tie order
+        # exactly.
+        from gaussreg_tpu.ops.select_k import select_min_k
+
+        vals, pos = select_min_k(
+            d2.reshape(b * m, 9 * wspan), limit, interpret=not on_tpu
+        )
+        d2_sel = vals.reshape(b, m, limit)
+        run = (pos // wspan).reshape(b, m, limit)
+        within_run = (pos % wspan).reshape(b, m, limit)
+    else:
+        # two-stage exact top-k: nearest `limit` per run first, then merge
+        # the 9 winners — ~2x cheaper than one top_k over the full 9*wspan
+        # width (the per-run winners are an exact superset of the global
+        # winners)
+        kk = min(limit, wspan)
+        neg1, slot1 = jax.lax.top_k(-d2, kk)  # (B, M, 9, kk)
+        neg, slot2 = jax.lax.top_k(neg1.reshape(b, m, 9 * kk), limit)
+        d2_sel = -neg
+        run = slot2 // kk
+        within_run = jnp.take_along_axis(
+            slot1.reshape(b, m, 9 * kk), slot2, axis=-1
+        )  # offset within the run's window
     picked = jnp.take_along_axis(wrow, run, axis=-1) * cw + within_run
     idx = jnp.take_along_axis(
         order, jnp.minimum(picked, n - 1).reshape(b, -1), axis=1
