@@ -8,7 +8,8 @@ level (device trace: 1.22 s of pure sort per build_pyramid call,
 tools/trace_pyramid.py, PERF.md round 4). Selection of k ≪ W needs no
 sort at all: this kernel extracts the row-wise minimum k times from a
 VMEM-resident block using only VPU min/where passes — no cross-lane
-shuffles, no sort network.
+shuffles, no sort network. Everything stays rank-2: Mosaic's layout
+inference aborts on rank-changing reshapes of size-1 dims.
 
 Semantics match `lax.top_k(-d2, k)` exactly: values ascending, ties broken
 by the smaller flat index (top_k is stable in index order).
@@ -30,24 +31,21 @@ _BIG_F = float(jnp.finfo(jnp.float32).max)
 _BIG_I = 2**30
 
 
-def _select_kernel(k: int, nchunk: int, kpad: int):
+def _select_kernel(k: int, kpad: int):
     def kernel(x_ref, vals_ref, pos_ref):
-        x = x_ref[...]  # (BR, C, 128) f32
-        br = x.shape[0]
-        # global candidate position chunk*128 + lane — strictly increasing
-        # in (chunk, lane), so positional min == smallest flat index
-        ci = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        li = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
-        gpos = ci * 128 + li
+        x = x_ref[...]  # (BR, W) f32
+        br, w = x.shape
+        # flat candidate position — positional min == smallest flat index
+        gpos = jax.lax.broadcasted_iota(jnp.int32, (br, w), 1)
         ji = jax.lax.broadcasted_iota(jnp.int32, (br, kpad), 1)
 
         def body(j, carry):
             x, vals, pos = carry
-            m = jnp.min(x, axis=(1, 2), keepdims=True)  # (BR,1,1)
+            m = jnp.min(x, axis=1, keepdims=True)  # (BR, 1)
             cand = jnp.where(x == m, gpos, _BIG_I)
-            p = jnp.min(cand, axis=(1, 2), keepdims=True)  # (BR,1,1)
-            vals = jnp.where(ji == j, m[:, :, 0], vals)  # (BR,kpad)
-            pos = jnp.where(ji == j, p[:, :, 0], pos)
+            p = jnp.min(cand, axis=1, keepdims=True)  # (BR, 1)
+            vals = jnp.where(ji == j, m, vals)  # (BR, kpad)
+            pos = jnp.where(ji == j, p, pos)
             x = jnp.where(gpos == p, _BIG_F, x)
             return x, vals, pos
 
@@ -74,7 +72,6 @@ def select_min_k(
     """
     r, w = d2.shape
     assert w % 128 == 0, w
-    nchunk = w // 128
     assert k <= w
     kpad = 128
     assert k <= kpad
@@ -82,14 +79,11 @@ def select_min_k(
     if pad:
         d2 = jnp.pad(d2, ((0, pad), (0, 0)), constant_values=_BIG_F)
     rp = d2.shape[0]
-    x3 = d2.reshape(rp, nchunk, 128)
     grid = (rp // block_rows,)
     vals, pos = pl.pallas_call(
-        _select_kernel(k, nchunk, kpad),
+        _select_kernel(k, kpad),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_rows, nchunk, 128), lambda i: (i, 0, 0))
-        ],
+        in_specs=[pl.BlockSpec((block_rows, w), lambda i: (i, 0))],
         out_specs=[
             pl.BlockSpec((block_rows, kpad), lambda i: (i, 0)),
             pl.BlockSpec((block_rows, kpad), lambda i: (i, 0)),
@@ -99,5 +93,5 @@ def select_min_k(
             jax.ShapeDtypeStruct((rp, kpad), jnp.int32),
         ],
         interpret=interpret,
-    )(x3)
+    )(d2)
     return vals[:r, :k], pos[:r, :k]

@@ -74,10 +74,15 @@ def main():
             cfg.capacity.levels, cfg.capacity.neighbor_limits,
             cfg.backbone.num_stages, window_rows0=cfg.capacity.window_rows0,
         )
-        return (
-            jnp.sum(pyr.neighbors[0][0].astype(jnp.float32))
-            + sum(jnp.sum(p_.astype(jnp.float32)) for p_ in pyr.points)
-        )
+        # consume EVERY output: leaving any neighbor/sub/up list unused
+        # lets XLA dead-code-eliminate its search (a first version summed
+        # one list and read 456 ms for what is really a ~1.1 s build)
+        acc = jnp.float32(0)
+        for t in pyr.neighbors + pyr.subsampling + pyr.upsampling:
+            acc += jnp.sum(t.astype(jnp.float32))
+        for p_ in pyr.points:
+            acc += jnp.sum(p_)
+        return acc + pyr.search_overflow
 
     dt = slope(pyr_only, (points, masks))
     print(f"pyramid_only: {dt*1e3:.1f} ms/pair")
