@@ -40,6 +40,14 @@ class BackboneConfig:
         return self.base_sigma * self.init_voxel_size
 
 
+# the reference's published calibration for ScanNet-GSReg (test.py:129);
+# pinned on the torch-import inference path (engine/torch_import.py:
+# load_for_inference) so imported released weights run at the neighbor
+# truncation they were trained/evaluated with — the synthetic-calibrated
+# defaults below are a property of the synthetic distribution only
+REFERENCE_NEIGHBOR_LIMITS: Tuple[int, ...] = (89, 30, 43, 49, 49)
+
+
 @dataclasses.dataclass(frozen=True)
 class CapacityConfig:
     """Static per-level padded capacities (TPU-native replacement for the

@@ -251,6 +251,31 @@ def load_torch_snapshot(path: str, flax_params: dict):
     return convert_state_dict(model_dict, flax_params)
 
 
+def pin_reference_neighbor_limits(cfg):
+    """Swap synthetic-calibrated default neighbor limits for the reference's
+    published ScanNet-GSReg calibration (89, 30, 43, 49, 49) (reference
+    test.py:129) on full-capacity configs. Imported released weights must
+    see the truncation statistics they were trained with; tiny-capacity CI
+    configs (levels[0] < 4096) and explicitly overridden limits are left
+    untouched (VERDICT r4 #6)."""
+    import dataclasses
+
+    from gaussreg_tpu.config import REFERENCE_NEIGHBOR_LIMITS, CapacityConfig
+
+    default_limits = CapacityConfig().neighbor_limits
+    if (
+        cfg.capacity.neighbor_limits == default_limits
+        and cfg.capacity.levels[0] >= 4096
+    ):
+        cfg = dataclasses.replace(
+            cfg,
+            capacity=dataclasses.replace(
+                cfg.capacity, neighbor_limits=REFERENCE_NEIGHBOR_LIMITS
+            ),
+        )
+    return cfg
+
+
 def load_for_inference(path: str, cfg, model, params):
     """Load a reference torch snapshot for our inference CLIs.
 
@@ -258,10 +283,19 @@ def load_for_inference(path: str, cfg, model, params):
     (kernel_points.py:428-453): when detected, the model is rebuilt with
     `shared_kpconv_geometry=False` so every KPConv evaluates its own
     imported disposition (the shared fast path would be numerically wrong).
+
+    Neighbor limits are pinned to the reference's published ScanNet-GSReg
+    calibration (89, 30, 43, 49, 49) (reference test.py:129) whenever the
+    cfg still carries the synthetic-calibrated defaults at full capacity —
+    imported released weights must see the truncation statistics they were
+    trained with, not the synthetic distribution's (VERDICT r4 #6).
+    Tiny-capacity CI configs (levels[0] < 4096) keep their own limits
+    (pin_reference_neighbor_limits).
     Returns (cfg, model, params, report).
     """
     import dataclasses
 
+    cfg = pin_reference_neighbor_limits(cfg)
     params, report = load_torch_snapshot(path, params)
     if report["per_layer_kernel_geometry"] and cfg.backbone.shared_kpconv_geometry:
         from gaussreg_tpu.models.registration import create_model

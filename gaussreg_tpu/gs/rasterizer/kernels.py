@@ -553,7 +553,7 @@ def _bwd(height, width, tile_h, tile_w, bwd_capacity_blocks, residuals, cts):
         tile_h, tile_w,
     )
 
-    # ---- scatter-add accumulation keyed by gaussian id (docstring) ----
+    # ---- segment-reduce accumulation keyed by gaussian id (docstring) ----
     # compacted row -> original pair position -> gid. Rows in blocks past
     # the compacted end (offs[T]) were never written by the kernel
     # (uninitialized memory): route them to the sentinel row. Foreign /
@@ -562,15 +562,44 @@ def _bwd(height, width, tile_h, tile_w, bwd_capacity_blocks, residuals, cts):
     # sorted_gid — the equivalent per-ELEMENT gather sorted_gid[pos]
     # measured 1.78 ms at 268k elements (6.6 ns/elem, the slow gather
     # form) vs ~0 for 2099 row takes (PERF.md round 4 trace).
+    from gaussreg_tpu.gs.rasterizer.accumulate import segment_accumulate
+
     gnum = g1 - 1
     live = (jnp.arange(nblk2, dtype=jnp.int32) < offs[num_tiles])[:, None]
     gid = jnp.where(
         live, sorted_gid.reshape(nblk, chunk_n)[blk_src], gnum
     )  # (nblk2, chunk)
-    grows = grads.transpose(0, 2, 1).reshape(-1, NCHAN)
-    d_gdata = (
-        jnp.zeros((g1, NCHAN), grows.dtype).at[gid.reshape(-1)].add(grows)
-    )
+    # rows in blocks past the compacted end are UNINITIALIZED memory; the
+    # scatter could dump them on the sentinel row, but the segment
+    # reduction's one-hot matmul would propagate NaN (0 * NaN) — zero them
+    grows = jnp.where(
+        live[:, :, None], grads.transpose(0, 2, 1), 0.0
+    ).reshape(-1, NCHAN)
+    # DEFAULT: XLA scatter-add (13 ns/row op floor, 2.50 ms at the 32x32
+    # bench shapes). The Pallas MXU segment reduction (accumulate.py) is
+    # 2.3x faster STANDALONE (1.11 ms incl. its sort+gather feed), but
+    # integrating it REGRESSES the full step 9.99 -> 17.0 ms: when the
+    # custom call consumes the sorted-gather output, XLA splits the fused
+    # projection/SH VJP chain and re-lays-out (G, 3, 16)-scale
+    # intermediates (+6 ms of loop fusions / data formatting). Bisected
+    # round 5: trivial pallas call -> clean; real kernel on synthetic
+    # (sort-free) inputs -> clean; sort+gather without the kernel ->
+    # clean; only the combination poisons the schedule, and
+    # lax.optimization_barrier does not firewall it. Opt-in via
+    # GAUSSREG_ACCUM=pallas until the XLA layout interaction is solved.
+    import os as _os
+
+    if _os.environ.get("GAUSSREG_ACCUM") == "pallas":
+        d_gdata = segment_accumulate(
+            grows, gid.reshape(-1), g1,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        d_gdata = (
+            jnp.zeros((g1, NCHAN), grows.dtype)
+            .at[gid.reshape(-1)]
+            .add(grows)
+        )
     # the sentinel row's cotangent is mathematically zero (alpha == 0 with
     # zero derivative); it only absorbed dead-row scatters
     d_gdata = d_gdata.at[gnum].set(0.0)

@@ -171,7 +171,11 @@ def grid_radius_search(
     radius,
     limit: int,
     window_rows: int = 2,
-    select_kernel: str = "auto",  # auto|pallas|topk (pallas on CPU: interpret)
+    select_kernel: str = "auto",  # auto|pallas|topk. NOTE: the backend is
+    # resolved via jax.default_backend() at TRACE time — under a jit pinned
+    # to a device that differs from the default backend, pass an explicit
+    # kernel ('pallas' compiles Mosaic and requires TPU placement;
+    # non-TPU backends get interpret mode only under 'auto'/default-CPU)
 ):
     """Batched grid-run pruned radius search (module docstring).
 

@@ -69,12 +69,17 @@ def select_min_k(
     Returns (vals (R, k) ascending, pos (R, k) int32 flat positions).
     Exact: identical to full-sort selection with stable tie-breaks.
     Rows are processed in VMEM blocks of `block_rows`; R is padded up.
+
+    Precondition: inputs must be < finfo(f32).max and not NaN — the kernel
+    marks eliminated candidates in-band with finfo max, so rows containing
+    that value (or +inf/NaN, which compare unlike top_k) lose the exact
+    lax.top_k index parity. Callers use finite sentinels (e.g. 1e12 in
+    ops/neighbors.py) for padding.
     """
     r, w = d2.shape
     assert w % 128 == 0, w
     assert k <= w
-    kpad = 128
-    assert k <= kpad
+    kpad = ((k + 127) // 128) * 128  # lane-width multiple holding k
     pad = (-r) % block_rows
     if pad:
         d2 = jnp.pad(d2, ((0, pad), (0, 0)), constant_values=_BIG_F)

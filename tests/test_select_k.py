@@ -33,6 +33,27 @@ def test_select_min_k_matches_topk():
         np.testing.assert_array_equal(np.asarray(pos), np.asarray(ref_pos))
 
 
+def test_select_min_k_compiled_mosaic_parity():
+    """Hardware-gated: the compiled Mosaic path (what production TPU runs)
+    vs lax.top_k — interpret mode does not catch Mosaic layout/compile
+    divergences (ADVICE r4). Skipped on the CPU CI mesh."""
+    import jax
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU: compiled Mosaic select_min_k needs hardware")
+
+    from gaussreg_tpu.ops.select_k import select_min_k
+
+    rng = np.random.default_rng(5)
+    d2 = rng.uniform(0, 1, size=(128, 2304)).astype(np.float32)
+    d2[rng.uniform(size=d2.shape) < 0.6] = 1e12
+    vals, pos = select_min_k(jnp.asarray(d2), 35, interpret=False)
+    neg, ref_pos = jax.lax.top_k(-jnp.asarray(d2), 35)
+    np.testing.assert_allclose(np.asarray(vals), -np.asarray(neg))
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(ref_pos))
+
+
 def test_grid_radius_search_pallas_branch_matches_topk_branch():
     from gaussreg_tpu.ops.neighbors import grid_radius_search
 

@@ -150,6 +150,41 @@ def test_per_layer_geometry_detected_and_model_rebuilt(model_and_params):
     assert not report3["per_layer_kernel_geometry"]
 
 
+def test_reference_neighbor_limits_pinned_for_torch_snapshots():
+    """--torch_snapshot eval must run at the reference's published
+    ScanNet-GSReg neighbor limits (test.py:129), not the synthetic-
+    calibrated defaults (VERDICT r4 #6); tiny CI configs and explicit
+    overrides are untouched."""
+    import dataclasses
+
+    from gaussreg_tpu.config import (
+        REFERENCE_NEIGHBOR_LIMITS,
+        make_cfg,
+        make_tiny_cfg,
+    )
+    from gaussreg_tpu.engine.torch_import import pin_reference_neighbor_limits
+
+    full = make_cfg()
+    assert (
+        pin_reference_neighbor_limits(full).capacity.neighbor_limits
+        == REFERENCE_NEIGHBOR_LIMITS
+    )
+    tiny = make_tiny_cfg()
+    assert (
+        pin_reference_neighbor_limits(tiny).capacity.neighbor_limits
+        == tiny.capacity.neighbor_limits
+    )
+    custom = dataclasses.replace(
+        full,
+        capacity=dataclasses.replace(
+            full.capacity, neighbor_limits=(50, 30, 30, 30, 30)
+        ),
+    )
+    assert pin_reference_neighbor_limits(custom).capacity.neighbor_limits == (
+        50, 30, 30, 30, 30,
+    )
+
+
 def test_shape_mismatch_raises(model_and_params):
     _, _, params, _ = model_and_params
     sd = fake_reference_state_dict()
