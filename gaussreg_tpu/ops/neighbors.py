@@ -113,13 +113,6 @@ def _merge_ranks(skey, lo, hi):
     k3lo = lo.astype(jnp.uint32) << 2
     k3hi = (hi.astype(jnp.uint32) << 2) | jnp.uint32(2)
     keys = jnp.concatenate([k3s, k3lo, k3hi], axis=1)  # (B, N + 2P)
-    is_probe = jnp.concatenate(
-        [
-            jnp.zeros((b, n), jnp.int32),
-            jnp.ones((b, 2 * p), jnp.int32),
-        ],
-        axis=1,
-    )
     slot = jnp.concatenate(
         [
             jnp.full((b, n), n + 2 * p, jnp.int32),  # supports un-sort last
@@ -127,7 +120,14 @@ def _merge_ranks(skey, lo, hi):
         ],
         axis=1,
     )
-    _, flags, slots = jax.lax.sort((keys, is_probe, slot), num_keys=1)
+    # ONE payload, explicitly unstable (round 5: each extra sort operand —
+    # including the hidden stability iota — costs ~25% at the 583k level-0
+    # width). The probe flag is RECOVERED from the sorted keys' 2-bit type
+    # suffix instead of riding the sort; ties are harmless: equal keys are
+    # only probe/probe (identical cell + type -> identical rank either
+    # order) — support keys are distinct from probe keys by the suffix.
+    skeys, slots = jax.lax.sort((keys, slot), num_keys=1, is_stable=False)
+    flags = ((skeys & jnp.uint32(3)) != jnp.uint32(1)).astype(jnp.int32)
     pos = jnp.broadcast_to(
         jnp.arange(n + 2 * p, dtype=jnp.int32), (b, n + 2 * p)
     )
@@ -138,7 +138,10 @@ def _merge_ranks(skey, lo, hi):
     nsup_below = pos - (
         jax.lax.associative_scan(jnp.add, flags, axis=1) - flags
     )
-    _, ranks = jax.lax.sort((slots, nsup_below), num_keys=1)
+    # un-permute: slots are unique -> unstable is exact
+    _, ranks = jax.lax.sort(
+        (slots, nsup_below), num_keys=1, is_stable=False
+    )
     return ranks[:, :p], ranks[:, p : 2 * p]
 
 
@@ -171,7 +174,10 @@ def grid_radius_search(
     radius,
     limit: int,
     window_rows: int = 2,
-    select_kernel: str = "auto",  # auto|pallas|topk. NOTE: the backend is
+    select_kernel: str = "auto",  # auto|fused|pallas|topk. 'auto' uses the
+    # fused window-select kernel (ops/fused_select.py) on TPU and the topk
+    # branch elsewhere; 'pallas' is the legacy select_min_k path (selection
+    # kernel but unfused d2/validity/index maps). NOTE: the backend is
     # resolved via jax.default_backend() at TRACE time — under a jit pinned
     # to a device that differs from the default backend, pass an explicit
     # kernel ('pallas' compiles Mosaic and requires TPU placement;
@@ -283,6 +289,57 @@ def grid_radius_search(
     wend = wrow * cw + wspan
     overflow = jnp.sum(jnp.maximum(ends - wend, 0))
 
+    on_tpu = jax.default_backend() == "tpu"
+    if select_kernel == "fused" or (select_kernel == "auto" and on_tpu):
+        # fused path (round 5): ONE interleaved whole-row gather per plane
+        # (x, y, z, original id) feeds ops/fused_select.py, which does
+        # d2 + validity + k-min + id extraction in VMEM. The unfused path
+        # below materializes (B, M, 9, wspan) pos/valid/d2 arrays (with
+        # 1.8 ms layout copies each at level-0 scale) and maps selected
+        # positions back through ~10 ns/element take_along_axis gathers
+        # (22.7 + 22.6 ms for the two level-0-scale maps) — PERF.md
+        # round-5 pyramid trace.
+        from gaussreg_tpu.ops.fused_select import window_select_idx
+
+        r_tot = planes[0].shape[1]
+        base = wrow.reshape(b, m * 9) + (
+            jnp.arange(b, dtype=jnp.int32) * r_tot
+        )[:, None]
+        ridx = (
+            base[:, :, None] + jnp.arange(window_rows, dtype=jnp.int32)
+        ).reshape(-1)
+
+        def win_gather(plane):
+            # (b*m*9*wr, cw) -> (b*m, 9*wr*cw): run-major, offset-minor —
+            # a contiguous reshape, no stack copy (PERF.md round 5)
+            return plane.reshape(b * r_tot, cw)[ridx].reshape(b * m, -1)
+
+        order_pad = jnp.concatenate(
+            [order, jnp.zeros((b, r_tot * cw - n), jnp.int32)], axis=1
+        ).reshape(b, r_tot, cw)
+        win_x = win_gather(planes[0])
+        win_y = win_gather(planes[1])
+        win_z = win_gather(planes[2])
+        win_idx = win_gather(order_pad)
+        ls = (starts - wrow * cw).reshape(b * m, 9)
+        le = jnp.clip(ends - wrow * cw, 0, wspan).reshape(b * m, 9)
+        lsle = jnp.concatenate([ls, le], axis=1).astype(jnp.int32)
+        q8 = jnp.concatenate(
+            [
+                q_points.reshape(b * m, 3),
+                jnp.zeros((b * m, 5), q_points.dtype),
+            ],
+            axis=1,
+        )
+        d2_sel, idx = window_select_idx(
+            q8, lsle, win_x, win_y, win_z, win_idx, limit,
+            nruns=9, wspan=wspan, interpret=not on_tpu,
+        )
+        d2_sel = d2_sel.reshape(b, m, limit)
+        idx = idx.reshape(b, m, limit)
+        ok = (d2_sel <= r2) & q_mask[:, :, None]
+        return jnp.where(ok, idx, n).astype(jnp.int32), overflow
+
     offs = jnp.arange(wspan, dtype=jnp.int32)
     pos = wrow[..., None] * cw + offs  # (B, M, 9, wspan) global rows
     cand_valid = (pos >= starts[..., None]) & (pos < ends[..., None])
@@ -295,10 +352,7 @@ def grid_radius_search(
         diff = ca - q_points[:, :, None, None, a]
         d2 = d2 + diff * diff
     d2 = jnp.where(cand_valid, d2, _BIG)
-    on_tpu = jax.default_backend() == "tpu"
-    use_pallas = select_kernel == "pallas" or (
-        select_kernel == "auto" and on_tpu
-    )
+    use_pallas = select_kernel == "pallas"
     if use_pallas:
         # Pallas selection kernel: lax.top_k lowers to a full stable sort
         # with an iota payload (~190 ms at (2,30720,9,256) — device trace,

@@ -73,3 +73,37 @@ def test_grid_radius_search_pallas_branch_matches_topk_branch():
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(of_a) == int(of_b)
+
+
+def test_grid_radius_search_fused_branch_matches_topk_branch():
+    """The fused window-select kernel (ops/fused_select.py) must reproduce
+    the two-stage top_k branch exactly — indices, sentinels, overflow —
+    including batches, invalid queries/supports and radius-boundary ties."""
+    from gaussreg_tpu.ops.neighbors import grid_radius_search
+
+    rng = np.random.default_rng(13)
+    radius, limit = 0.1, 12
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        q = rng.uniform(0, 1, size=(2, 70, 3)).astype(np.float32)
+        s = rng.uniform(0, 1, size=(2, 300, 3)).astype(np.float32)
+        # clustered blob to exercise window truncation/ties
+        s[0, :80] = s[0, 0] + rng.normal(scale=0.01, size=(80, 3))
+        qp = np.zeros((2, 128, 3), np.float32)
+        qp[:, :70] = q
+        qm = np.zeros((2, 128), bool)
+        qm[:, :70] = True
+        sp = np.zeros((2, 384, 3), np.float32)
+        sp[:, :300] = s
+        sm = np.zeros((2, 384), bool)
+        sm[:, :300] = True
+        a, of_a = grid_radius_search(
+            jnp.asarray(qp), jnp.asarray(sp), jnp.asarray(qm),
+            jnp.asarray(sm), radius, limit, select_kernel="topk",
+        )
+        b, of_b = grid_radius_search(
+            jnp.asarray(qp), jnp.asarray(sp), jnp.asarray(qm),
+            jnp.asarray(sm), radius, limit, select_kernel="fused",
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(of_a) == int(of_b)
