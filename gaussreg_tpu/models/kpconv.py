@@ -183,21 +183,52 @@ class KPConv(nn.Module):
         # knee while their bf16 halves sit under it. The einsum consumes
         # bf16 either way, so this changes cost, not values.
         bf = jnp.bfloat16
-        nf = batched_gather(
-            s_feats.astype(bf), neighbor_indices, fill=0.0
-        )  # (B, M, H, C)
-        weighted = jnp.einsum(
-            "bmhk,bmhc->bmkc",
-            influence.astype(bf),
-            nf,
-            preferred_element_type=jnp.float32,
+        h = neighbor_indices.shape[-1]
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and k <= 16
+            and self.in_channels % 64 == 0
+            and self.in_channels <= 256
+            and self.out_channels % 64 == 0
         )
-        out = jnp.einsum(
-            "bmkc,kcd->bmd",
-            weighted.astype(bf),
-            weights.astype(bf),
-            preferred_element_type=jnp.float32,
-        )
+        if use_fused:
+            # fused Pallas aggregation (ops/kpconv_kernel.py): the XLA
+            # einsum pair below is a (B*M)-batched tiny matmul that pads
+            # K=15 to 128 lanes, spills a ~550 MB scratch and serializes
+            # (28 ms of the eval forward at level-0 shapes — round-4/5
+            # traces). Neighbor slots are padded to 8 (sentinel gathers
+            # return zero features / zero influence, so padding is exact);
+            # backward re-derives through the einsum form (custom_vjp), so
+            # training numerics are unchanged.
+            from gaussreg_tpu.ops.kpconv_kernel import kpconv_fused_apply
+
+            he = ((h + 7) // 8) * 8
+            n = s_feats.shape[1]
+            idx_p = jnp.pad(
+                neighbor_indices, ((0, 0), (0, 0), (0, he - h)),
+                constant_values=n,
+            )
+            nf = batched_gather(s_feats.astype(bf), idx_p, fill=0.0)
+            infl_p = jnp.pad(
+                influence.astype(bf), ((0, 0), (0, 0), (0, he - h), (0, 0))
+            )
+            out = kpconv_fused_apply(nf, infl_p, weights)
+        else:
+            nf = batched_gather(
+                s_feats.astype(bf), neighbor_indices, fill=0.0
+            )  # (B, M, H, C)
+            weighted = jnp.einsum(
+                "bmhk,bmhc->bmkc",
+                influence.astype(bf),
+                nf,
+                preferred_element_type=jnp.float32,
+            )
+            out = jnp.einsum(
+                "bmkc,kcd->bmd",
+                weighted.astype(bf),
+                weights.astype(bf),
+                preferred_element_type=jnp.float32,
+            )
 
         # per-query neighbor-count normalization (reference kpconv.py:113-116)
         out = out / jnp.maximum(count, 1)[..., None].astype(out.dtype)

@@ -28,6 +28,37 @@ from gaussreg_tpu.ops.transforms import apply_transform
 _BIG = 1e12
 
 
+def _topk_flat_desc(flat: jnp.ndarray, k: int):
+    """Descending top-k of a flat NON-NEGATIVE f32 array as ONE unstable
+    2-operand sort. `lax.top_k` lowers to a full STABLE sort carrying a
+    hidden iota (3 arrays); at the 4.19M LGR verification-set width that
+    stability costs ~30% for tie-order nobody depends on (ties here are
+    either masked zeros past the valid set or equal-score correspondences
+    whose order is immaterial — reference keeps ALL correspondences,
+    local_global_registration.py:137-194, so the cap itself is already our
+    approximation). Non-negative floats sort by their bit patterns;
+    complementing gives a descending key that round-trips exactly."""
+    bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
+    key = ~bits
+    iota = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    key_s, idx_s = jax.lax.sort((key, iota), num_keys=1, is_stable=False)
+    vals = jax.lax.bitcast_convert_type(~key_s[:k], jnp.float32)
+    return vals, idx_s[:k]
+
+
+def _rowwise_kth_largest(scores: jnp.ndarray, k: int):
+    """k-th largest per row of (R, W) scores, W a lane multiple: the
+    mutual-top-k threshold. On TPU uses the select_min_k VPU kernel
+    (O(k*W) min-extraction); `lax.top_k` lowers to a full per-row sort —
+    ~4.19M elements per call at LGR shapes (round-4 trace, sort.12)."""
+    if jax.default_backend() == "tpu" and scores.shape[-1] % 128 == 0:
+        from gaussreg_tpu.ops.select_k import select_min_k
+
+        vals, _ = select_min_k(-scores, k)
+        return -vals[:, k - 1]
+    return jax.lax.top_k(scores, k)[0][:, k - 1]
+
+
 def superpoint_matching(
     ref_feats: jnp.ndarray,
     src_feats: jnp.ndarray,
@@ -185,16 +216,20 @@ def point_matching_topk(
     Returns (ref_points (C, 3), src_points (C, 3), scores (C,), valid (C,)).
     """
     scores = jnp.exp(matching_scores)
+    p, kk, _ = scores.shape
     mask_mat = ref_knn_masks[:, :, None] & src_knn_masks[:, None, :]
-    ref_topk, _ = jax.lax.top_k(scores, k)
-    ref_sel = scores >= ref_topk[..., k - 1 : k]
-    src_topk, _ = jax.lax.top_k(scores.swapaxes(1, 2), k)
-    src_sel = scores >= src_topk[..., k - 1 : k].swapaxes(1, 2)
+    ref_sel = scores >= _rowwise_kth_largest(
+        scores.reshape(p * kk, kk), k
+    ).reshape(p, kk, 1)
+    src_sel = scores >= _rowwise_kth_largest(
+        scores.swapaxes(1, 2).reshape(p * kk, kk), k
+    ).reshape(p, 1, kk)
     sel = (ref_sel & src_sel) if mutual else (ref_sel | src_sel)
     corr = sel & (scores > confidence_threshold) & mask_mat
     masked = jnp.where(corr, scores, 0.0)
-    p, kk, _ = masked.shape
-    top_scores, top_idx = jax.lax.top_k(masked.reshape(-1), max_correspondences)
+    top_scores, top_idx = _topk_flat_desc(
+        masked.reshape(-1), max_correspondences
+    )
     valid = top_scores > 0.0
     pi = top_idx // (kk * kk)
     ri = (top_idx // kk) % kk
@@ -314,13 +349,14 @@ def local_to_global_registration(
 
     mask_mat = ref_knn_masks[:, :, None] & src_knn_masks[:, None, :]
 
-    # top-k per row (ref side): entries that are within the row's top-k
-    ref_topk, _ = jax.lax.top_k(scores, k)  # (P, K, k)
-    ref_thresh = ref_topk[..., k - 1 : k]  # kth-largest per row
-    ref_sel = scores >= ref_thresh
-    src_topk, _ = jax.lax.top_k(scores.swapaxes(1, 2), k)
-    src_thresh = src_topk[..., k - 1 : k].swapaxes(1, 2)
-    src_sel = scores >= src_thresh
+    # top-k per row (ref side): entries that are within the row's top-k —
+    # thresholds via the select_min_k kernel on TPU (_rowwise_kth_largest)
+    ref_sel = scores >= _rowwise_kth_largest(
+        scores.reshape(p * kk, kk), k
+    ).reshape(p, kk, 1)
+    src_sel = scores >= _rowwise_kth_largest(
+        scores.swapaxes(1, 2).reshape(p * kk, kk), k
+    ).reshape(p, 1, kk)
     sel = (ref_sel & src_sel) if mutual else (ref_sel | src_sel)
     corr_mat = sel & (scores > confidence_threshold) & mask_mat
     corr_mat = corr_mat & patch_valid[:, None, None]
@@ -330,7 +366,7 @@ def local_to_global_registration(
 
     # verification set: global top-C by score
     flat_scores = masked_scores.reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(flat_scores, max_correspondences)
+    top_scores, top_idx = _topk_flat_desc(flat_scores, max_correspondences)
     corr_valid = top_scores > 0.0
     pi = top_idx // (kk * kk)
     ri = (top_idx // kk) % kk

@@ -69,6 +69,13 @@ def main():
         "--scheduler", default=None, choices=["step", "cosine"],
         help="override cfg.optim.scheduler",
     )
+    parser.add_argument(
+        "--hard_fraction", type=float, default=0.0,
+        help="fraction of the synthetic training pool drawn from the hard "
+        "tier (overlap 0.3-0.65, full scale aug) — round-5 hard-tier "
+        "failure diagnosis showed the committed checkpoint's inlier ratio "
+        "collapses to ~0.12 there (easy-tier-only training)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -269,8 +276,19 @@ def main():
     )
     cache_dir = os.path.join(args.output_dir, "batch_cache", cache_tag)
 
+    def _tier_of(seed):
+        # deterministic per-seed tier split: low hash bucket -> hard
+        return (
+            "hard"
+            if (int(seed) * 2654435761 % 1000) < args.hard_fraction * 1000
+            else "easy"
+        )
+
     def cached_pair_batch(seed):
-        path = os.path.join(cache_dir, f"{seed}.npz")
+        tier = _tier_of(seed)
+        path = os.path.join(
+            cache_dir, f"{seed}h.npz" if tier == "hard" else f"{seed}.npz"
+        )
         if os.path.exists(path):
             try:
                 with np.load(path) as f:
@@ -282,7 +300,7 @@ def main():
                 return jax.tree_util.tree_unflatten(batch_treedef, leaves)
             except Exception as e:  # corrupt/partial write: rebuild
                 logger.info(f"batch cache read failed ({path}): {e}")
-        pb = make_pair_batch(cfg, *random_pair(cfg, int(seed)))
+        pb = make_pair_batch(cfg, *random_pair(cfg, int(seed), tier=tier))
         leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(pb)]
         os.makedirs(cache_dir, exist_ok=True)
         tmp = path + f".tmp{os.getpid()}.npz"
