@@ -53,17 +53,30 @@ def _kernel(limit: int, kpad: int, nruns: int, wspan: int):
         d2 = dx * dx + dy * dy + dz * dz  # (BR, W)
 
         # per-candidate validity from the per-run LOCAL window bounds
-        # [ls_r, le_r): lane -> (run, offset) is static (run-major layout)
+        # [ls_r, le_r): lane -> (run, offset) is static (run-major layout).
+        # The bounds are expanded onto the lane grid with ONE one-hot MXU
+        # matmul per bound — a per-run select chain costs ~45 (BR, W) VPU
+        # passes (9 runs x compare+mult+add x 2 bounds), which dominated
+        # the small-k searches (round-5 trace: the k=4 upsampling search
+        # cost 21 ms, mostly this fixed part). Bounds are <= wspan <= 256,
+        # exact in bf16/f32.
         lane = jax.lax.broadcasted_iota(jnp.int32, (br, w), 1)
-        off = lane - (lane // wspan) * wspan
-        run_id = lane // wspan
-        ls_w = jnp.zeros((br, w), jnp.int32)
-        le_w = jnp.zeros((br, w), jnp.int32)
-        for r_ in range(nruns):
-            m = (run_id == r_).astype(jnp.int32)
-            ls_w = ls_w + m * lsle_ref[:, r_ : r_ + 1]
-            le_w = le_w + m * lsle_ref[:, nruns + r_ : nruns + r_ + 1]
-        valid = (off >= ls_w) & (off < le_w)
+        off_f = (lane - (lane // wspan) * wspan).astype(jnp.float32)
+        nrp = lsle_ref.shape[1] // 2  # padded run count (lane-safe)
+        run_of_lane = jax.lax.broadcasted_iota(jnp.int32, (nrp, w), 1) // wspan
+        rr = jax.lax.broadcasted_iota(jnp.int32, (nrp, w), 0)
+        onehot = (run_of_lane == rr).astype(jnp.bfloat16)
+        ls_w = jax.lax.dot_general(
+            lsle_ref[:, :nrp].astype(jnp.bfloat16), onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        le_w = jax.lax.dot_general(
+            lsle_ref[:, nrp:].astype(jnp.bfloat16), onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        valid = (off_f >= ls_w) & (off_f < le_w)
         x = jnp.where(valid, d2, _BIG_F)
 
         widx = widx_ref[...]
@@ -107,7 +120,9 @@ def window_select_idx(
     limit: int,
     nruns: int,
     wspan: int,
-    block_rows: int = 32,
+    block_rows: int = 128,  # fixed per-block grid/DMA overhead ~10 us
+    # amortizes 4x over 32-row blocks: 39.6 -> 22.0 ms at the level-0
+    # search shape (round-5 on-chip sweep); 256-row blocks exceed VMEM
     interpret: bool = False,
 ):
     """Row-wise nearest-`limit` selection over windowed candidates.

@@ -59,15 +59,19 @@ def _kernel(he: int, kp: int, c: int, dp: int):
         for h in range(he):
             nfh = nf_ref[:, h * c : (h + 1) * c]  # (BR, C) bf16
             inflh = infl_ref[:, h * kp : (h + 1) * kp]  # (BR, Kp) bf16
+            # Mosaic requires 32-bit matmul accumulators; the one-hot
+            # expansions reproduce the bf16 operands exactly in f32, so
+            # the f32 product + f32 accumulate matches the reference
+            # einsum's bf16xbf16 -> f32 semantics
             rep = jax.lax.dot_general(
                 inflh, e, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.bfloat16,
+                preferred_element_type=jnp.float32,
             )  # (BR, Kp*C): infl broadcast over c
             til = jax.lax.dot_general(
                 nfh, t, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.bfloat16,
+                preferred_element_type=jnp.float32,
             )  # (BR, Kp*C): features tiled over k
-            acc[...] = acc[...] + (rep * til).astype(jnp.float32)
+            acc[...] = acc[...] + rep * til
         out_ref[...] = jax.lax.dot_general(
             acc[...].astype(jnp.bfloat16), w_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),

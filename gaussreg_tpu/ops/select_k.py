@@ -62,7 +62,7 @@ def _select_kernel(k: int, kpad: int):
     jax.jit, static_argnames=("k", "block_rows", "interpret")
 )
 def select_min_k(
-    d2: jnp.ndarray, k: int, block_rows: int = 32, interpret: bool = False
+    d2: jnp.ndarray, k: int, block_rows: int = 128, interpret: bool = False
 ):
     """Row-wise k smallest of `d2` (R, W) f32, W a multiple of 128.
 
