@@ -228,67 +228,16 @@ def fine_register(
         return mt, bwd_cap, live_cap, pair_cap, sat_depths
 
     tx = optax.adam(lr)
-    runners = {}
 
-    def get_runner(mt, bwd_cap, live_cap, pair_cap, length):
-        key = (mt, bwd_cap, live_cap, pair_cap, length)
-        if key in runners:
-            return runners[key]
-
-        def photometric_loss(params, sat_depths):
-            delta = _delta_transform(params)
-            transform = delta @ init_transform
-            moved = transform_gaussians_device(src, transform)
-            loss = 0.0
-            overflow = jnp.zeros((), jnp.int32)
-            new_sat = []
-            for i, (cam, target) in enumerate(zip(cameras, targets)):
-                out = render(
-                    moved.means, moved.scales, moved.quats, moved.opacities,
-                    moved.sh_coeffs, cam, valid=moved.valid,
-                    use_pallas=use_pallas,
-                    max_tiles_per_gaussian=mt,
-                    bwd_capacity_blocks=bwd_cap,
-                    sat_depth=None if sat_depths is None else sat_depths[i],
-                    live_gaussian_cap=live_cap,
-                    pair_capacity_blocks=pair_cap,
-                    sat_margin=1.10,
-                )
-                # L1 on color; transmittance term keeps coverage aligned
-                loss = loss + jnp.mean(jnp.abs(out.rgb - target.rgb))
-                loss = loss + 0.1 * jnp.mean(
-                    jnp.abs(out.transmittance - target.transmittance)
-                )
-                overflow = overflow + out.overflow_cap
-                new_sat.append(jax.lax.stop_gradient(out.sat_depth))
-            return loss / len(cameras), (new_sat, overflow)
-
-        # each SEGMENT runs as one lax.scan on device: a Python step loop
-        # costs one host round-trip per step (~30 ms each through the
-        # remote-TPU tunnel, PERF.md)
-        @jax.jit
-        def run(params, opt_state, sat_depths):
-            def body(carry, _):
-                params, opt_state, sat_depths, oflo = carry
-                (loss, (new_sat, of)), grads = jax.value_and_grad(
-                    photometric_loss, has_aux=True
-                )(params, sat_depths)
-                updates, opt_state = tx.update(grads, opt_state)
-                params = optax.apply_updates(params, updates)
-                if sat_depths is not None:
-                    sat_depths = new_sat
-                return (params, opt_state, sat_depths, oflo + of), loss
-
-            (params, opt_state, sat_depths, oflo), losses = jax.lax.scan(
-                body,
-                (params, opt_state, sat_depths, jnp.zeros((), jnp.int32)),
-                None,
-                length=length,
-            )
-            return params, opt_state, sat_depths, losses, oflo
-
-        runners[key] = run
-        return run
+    cam_statics = tuple(
+        (
+            float(c.fx), float(c.fy), float(c.cx), float(c.cy),
+            int(c.width), int(c.height),
+        )
+        for c in cameras
+    )
+    w2cs = jnp.stack([c.w2c for c in cameras])
+    target_arrays = tuple((t.rgb, t.transmittance) for t in targets)
 
     params = {
         "log_s": jnp.zeros(()),
@@ -308,8 +257,15 @@ def fine_register(
         mt, bwd_cap, live_cap, pair_cap, sat_depths = probe_caps(
             jax.lax.stop_gradient(current), mt_candidates
         )
-        run = get_runner(mt, bwd_cap, live_cap, pair_cap, seg)
-        params, opt_state, _, losses, of = run(params, opt_state, sat_depths)
+        run = _make_runner(
+            cam_statics, mt, bwd_cap, live_cap, pair_cap, seg, float(lr),
+            use_pallas, sat_depths is not None,
+        )
+        sat_tuple = None if sat_depths is None else tuple(sat_depths)
+        params, opt_state, _, losses, of = run(
+            params, opt_state, sat_tuple, init_transform, src,
+            target_arrays, w2cs,
+        )
         all_losses.append(losses)
         overflow = overflow + of
         done += seg
@@ -320,3 +276,77 @@ def fine_register(
         losses=jnp.concatenate(all_losses),
         overflow=overflow,
     )
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _make_runner(
+    cam_statics, mt, bwd_cap, live_cap, pair_cap, length, lr, use_pallas,
+    has_sat,
+):
+    """Jitted scan runner for one capacity configuration. Module-level and
+    closure-free (all data flows through ARGUMENTS): per-call closures made
+    every fine_register call recompile every segment — measured 218 s of
+    pure recompilation on the second call of a 100-step refinement
+    (round 5). Cached runners persist across scenes; the quantized caps
+    (probe_caps) keep the key space small."""
+    tx = optax.adam(lr)
+
+    def photometric_loss(params, sat_depths, init_transform, src,
+                         target_arrays, w2cs):
+        delta = _delta_transform(params)
+        transform = delta @ init_transform
+        moved = transform_gaussians_device(src, transform)
+        loss = 0.0
+        overflow = jnp.zeros((), jnp.int32)
+        new_sat = []
+        for i, statics in enumerate(cam_statics):
+            fx, fy, cx, cy, width, height = statics
+            cam = Camera(w2cs[i], fx, fy, cx, cy, width, height)
+            out = render(
+                moved.means, moved.scales, moved.quats, moved.opacities,
+                moved.sh_coeffs, cam, valid=moved.valid,
+                use_pallas=use_pallas,
+                max_tiles_per_gaussian=mt,
+                bwd_capacity_blocks=bwd_cap,
+                sat_depth=None if sat_depths is None else sat_depths[i],
+                live_gaussian_cap=live_cap,
+                pair_capacity_blocks=pair_cap,
+                sat_margin=1.10,
+            )
+            t_rgb, t_tr = target_arrays[i]
+            # L1 on color; transmittance term keeps coverage aligned
+            loss = loss + jnp.mean(jnp.abs(out.rgb - t_rgb))
+            loss = loss + 0.1 * jnp.mean(jnp.abs(out.transmittance - t_tr))
+            overflow = overflow + out.overflow_cap
+            new_sat.append(jax.lax.stop_gradient(out.sat_depth))
+        return loss / len(cam_statics), (tuple(new_sat), overflow)
+
+    # each SEGMENT runs as one lax.scan on device: a Python step loop
+    # costs one host round-trip per step (~30 ms each through the
+    # remote-TPU tunnel, PERF.md)
+    @jax.jit
+    def run(params, opt_state, sat_depths, init_transform, src,
+            target_arrays, w2cs):
+        def body(carry, _):
+            params, opt_state, sat_depths, oflo = carry
+            (loss, (new_sat, of)), grads = jax.value_and_grad(
+                photometric_loss, has_aux=True
+            )(params, sat_depths, init_transform, src, target_arrays, w2cs)
+            updates, opt_state = tx.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            if has_sat:
+                sat_depths = new_sat
+            return (params, opt_state, sat_depths, oflo + of), loss
+
+        (params, opt_state, sat_depths, oflo), losses = jax.lax.scan(
+            body,
+            (params, opt_state, sat_depths, jnp.zeros((), jnp.int32)),
+            None,
+            length=length,
+        )
+        return params, opt_state, sat_depths, losses, oflo
+
+    return run
