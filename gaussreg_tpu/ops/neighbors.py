@@ -164,7 +164,8 @@ def _row_window_gather(src, rows, nrows: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("limit", "window_rows", "select_kernel")
+    jax.jit,
+    static_argnames=("limit", "window_rows", "select_kernel", "cell_factor"),
 )
 def grid_radius_search(
     q_points: jnp.ndarray,  # (B, M, 3)
@@ -182,6 +183,14 @@ def grid_radius_search(
     # to a device that differs from the default backend, pass an explicit
     # kernel ('pallas' compiles Mosaic and requires TPU placement;
     # non-TPU backends get interpret mode only under 'auto'/default-CPU)
+    cell_factor: float = 1.0,  # grid cell size as a multiple of `radius`.
+    # 1.0: radius-sized cells, 3x3 xy-neighborhood -> 9 z-runs/query.
+    # 2.0: double cells, [floor((q-r)/c), +1] covers the query ball with
+    # a 2x2 neighborhood and a 2-cell z-window -> 4 runs/query, cutting
+    # the candidate width (and every per-lane cost downstream) 2.25x.
+    # Use 2.0 for SPARSE (post-voxelization) supports only: run lengths
+    # grow ~8x with cell volume and the aligned windows must still cover
+    # them (search_overflow counts any breach).
 ):
     """Batched grid-run pruned radius search (module docstring).
 
@@ -211,9 +220,11 @@ def grid_radius_search(
         jnp.where(s_mask[..., None], s_points, big), axis=1, keepdims=True
     )  # (B, 1, 3)
 
+    cs = radius * cell_factor
+
     def cellify(pts):
         return jnp.clip(
-            jnp.floor((pts - pmin) / radius).astype(jnp.int32),
+            jnp.floor((pts - pmin) / cs).astype(jnp.int32),
             0,
             (1 << _BITS) - 1,
         )
@@ -254,32 +265,50 @@ def grid_radius_search(
         )
         planes.append(pa.reshape(b, r_tot, cw))
 
-    # per query: 9 z-runs, one per (dx, dy) in the 3x3 xy-neighborhood
-    q_cells = cellify(q_points)  # (B, M, 3)
-    dxy = jnp.stack(
-        jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"),
-        axis=-1,
-    ).reshape(9, 2)  # (9, 2)
-    cx = q_cells[..., 0:1] + dxy[:, 0]
-    cy = q_cells[..., 1:2] + dxy[:, 1]
+    if cell_factor == 1.0:
+        # radius-sized cells: 3x3 xy-neighborhood -> 9 z-runs per query
+        q_cells = cellify(q_points)  # (B, M, 3)
+        dxy = jnp.stack(
+            jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"),
+            axis=-1,
+        ).reshape(9, 2)  # (9, 2)
+        cx = q_cells[..., 0:1] + dxy[:, 0]
+        cy = q_cells[..., 1:2] + dxy[:, 1]
+        z0 = jnp.maximum(q_cells[..., 2:3] - 1, 0)
+        z1 = jnp.minimum(q_cells[..., 2:3] + 1, (1 << _BITS) - 1)
+        nruns = 9
+    else:
+        # larger cells (cs >= 2r): the ball [q - r, q + r] spans at most
+        # TWO cells per axis starting at floor((q - r)/cs) -> 2x2 columns,
+        # 2-cell z-window
+        qraw = jnp.floor(
+            (q_points - radius - pmin) / cs
+        ).astype(jnp.int32)  # UNCLIPPED base cell (B, M, 3)
+        dxy = jnp.stack(
+            jnp.meshgrid(jnp.arange(0, 2), jnp.arange(0, 2), indexing="ij"),
+            axis=-1,
+        ).reshape(4, 2)
+        cx = qraw[..., 0:1] + dxy[:, 0]
+        cy = qraw[..., 1:2] + dxy[:, 1]
+        z0 = jnp.clip(qraw[..., 2:3], 0, (1 << _BITS) - 1)
+        z1 = jnp.clip(qraw[..., 2:3] + 1, 0, (1 << _BITS) - 1)
+        nruns = 4
     # a run whose unclipped (x, y) fell outside the grid must be DROPPED,
     # not clipped: clipping would duplicate an in-range neighbour run and
     # top_k would return duplicate support indices
     run_ok = (
         (cx >= 0) & (cx < (1 << _BITS)) & (cy >= 0) & (cy < (1 << _BITS))
-    )  # (B, M, 9)
+    )  # (B, M, nruns)
     cx = jnp.clip(cx, 0, (1 << _BITS) - 1)
     cy = jnp.clip(cy, 0, (1 << _BITS) - 1)
-    z0 = jnp.maximum(q_cells[..., 2:3] - 1, 0)
-    z1 = jnp.minimum(q_cells[..., 2:3] + 1, (1 << _BITS) - 1)
-    lo_key = (cx << (2 * _BITS)) | (cy << _BITS) | z0  # (B, M, 9)
+    lo_key = (cx << (2 * _BITS)) | (cy << _BITS) | z0  # (B, M, nruns)
     hi_key = (cx << (2 * _BITS)) | (cy << _BITS) | z1
 
     starts, ends = _merge_ranks(
         skey, lo_key.reshape(b, -1), hi_key.reshape(b, -1)
     )
-    starts = starts.reshape(b, m, 9)
-    ends = ends.reshape(b, m, 9)
+    starts = starts.reshape(b, m, nruns)
+    ends = ends.reshape(b, m, nruns)
     live = run_ok & q_mask[:, :, None]
     ends = jnp.where(live, ends, starts)
 
@@ -302,7 +331,7 @@ def grid_radius_search(
         from gaussreg_tpu.ops.fused_select import window_select_idx
 
         r_tot = planes[0].shape[1]
-        base = wrow.reshape(b, m * 9) + (
+        base = wrow.reshape(b, m * nruns) + (
             jnp.arange(b, dtype=jnp.int32) * r_tot
         )[:, None]
         ridx = (
@@ -321,8 +350,8 @@ def grid_radius_search(
         win_y = win_gather(planes[1])
         win_z = win_gather(planes[2])
         win_idx = win_gather(order_pad)
-        ls = (starts - wrow * cw).reshape(b * m, 9)
-        le = jnp.clip(ends - wrow * cw, 0, wspan).reshape(b * m, 9)
+        ls = (starts - wrow * cw).reshape(b * m, nruns)
+        le = jnp.clip(ends - wrow * cw, 0, wspan).reshape(b * m, nruns)
         lsle = jnp.concatenate([ls, le], axis=1).astype(jnp.int32)
         q8 = jnp.concatenate(
             [
@@ -333,7 +362,7 @@ def grid_radius_search(
         )
         d2_sel, idx = window_select_idx(
             q8, lsle, win_x, win_y, win_z, win_idx, limit,
-            nruns=9, wspan=wspan, interpret=not on_tpu,
+            nruns=nruns, wspan=wspan, interpret=not on_tpu,
         )
         d2_sel = d2_sel.reshape(b, m, limit)
         idx = idx.reshape(b, m, limit)
@@ -341,13 +370,13 @@ def grid_radius_search(
         return jnp.where(ok, idx, n).astype(jnp.int32), overflow
 
     offs = jnp.arange(wspan, dtype=jnp.int32)
-    pos = wrow[..., None] * cw + offs  # (B, M, 9, wspan) global rows
+    pos = wrow[..., None] * cw + offs  # (B, M, nruns, wspan) global rows
     cand_valid = (pos >= starts[..., None]) & (pos < ends[..., None])
-    d2 = jnp.zeros((b, m, 9, wspan), q_points.dtype)
-    wflat = wrow.reshape(b, m * 9)
+    d2 = jnp.zeros((b, m, nruns, wspan), q_points.dtype)
+    wflat = wrow.reshape(b, m * nruns)
     for a in range(3):
         ca = _row_window_gather(planes[a], wflat, window_rows).reshape(
-            b, m, 9, wspan
+            b, m, nruns, wspan
         )
         diff = ca - q_points[:, :, None, None, a]
         d2 = d2 + diff * diff
@@ -363,7 +392,7 @@ def grid_radius_search(
         from gaussreg_tpu.ops.select_k import select_min_k
 
         vals, pos = select_min_k(
-            d2.reshape(b * m, 9 * wspan), limit, interpret=not on_tpu
+            d2.reshape(b * m, nruns * wspan), limit, interpret=not on_tpu
         )
         d2_sel = vals.reshape(b, m, limit)
         run = (pos // wspan).reshape(b, m, limit)
@@ -374,12 +403,12 @@ def grid_radius_search(
         # width (the per-run winners are an exact superset of the global
         # winners)
         kk = min(limit, wspan)
-        neg1, slot1 = jax.lax.top_k(-d2, kk)  # (B, M, 9, kk)
-        neg, slot2 = jax.lax.top_k(neg1.reshape(b, m, 9 * kk), limit)
+        neg1, slot1 = jax.lax.top_k(-d2, kk)  # (B, M, nruns, kk)
+        neg, slot2 = jax.lax.top_k(neg1.reshape(b, m, nruns * kk), limit)
         d2_sel = -neg
         run = slot2 // kk
         within_run = jnp.take_along_axis(
-            slot1.reshape(b, m, 9 * kk), slot2, axis=-1
+            slot1.reshape(b, m, nruns * kk), slot2, axis=-1
         )  # offset within the run's window
     picked = jnp.take_along_axis(wrow, run, axis=-1) * cw + within_run
     idx = jnp.take_along_axis(

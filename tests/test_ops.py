@@ -104,6 +104,40 @@ def test_grid_radius_search_matches_bruteforce():
         assert np.all(got[nq:] == 256)
 
 
+def test_grid_radius_search_cell_factor2_matches_bruteforce():
+    """cell_factor=2 (2x2 columns, 2-cell z-window — the sparse-level fast
+    path) must stay exact vs brute force, including edge cells (queries
+    near pmin where the unclipped base cell is negative)."""
+    from gaussreg_tpu.ops.neighbors import grid_radius_search
+
+    rng = np.random.default_rng(17)
+    radius, limit = 0.11, 12
+    q = rng.uniform(0, 1, size=(70, 3)).astype(np.float32)
+    s = rng.uniform(0, 1, size=(260, 3)).astype(np.float32)
+    q[0] = s.min(0)  # exercise the negative-base edge
+    q[1] = s.max(0)
+    qp, qm = _pad(q, 128)
+    sp, sm = _pad(s, 384)
+    qp, sp, qm, sm = qp[None], sp[None], qm[None], sm[None]
+    idx, overflow = grid_radius_search(
+        qp, sp, qm, sm, radius, limit, cell_factor=2.0
+    )
+    assert int(overflow) == 0
+    ref = np.asarray(radius_search(qp[0], sp[0], qm[0], sm[0], radius, limit))
+    got = np.asarray(idx[0])
+    for i in range(70):
+        assert set(got[i].tolist()) == set(ref[i].tolist()), i
+    # the fused branch agrees with topk at factor 2 as well
+    a, of_a = grid_radius_search(
+        qp, sp, qm, sm, radius, limit, cell_factor=2.0, select_kernel="topk"
+    )
+    b2, of_b = grid_radius_search(
+        qp, sp, qm, sm, radius, limit, cell_factor=2.0, select_kernel="fused"
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+    assert int(of_a) == int(of_b)
+
+
 def test_grid_radius_search_overflow_counted():
     from gaussreg_tpu.ops.neighbors import grid_radius_search
 
